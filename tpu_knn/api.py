@@ -1,0 +1,40 @@
+"""Public API — the `cudaCallback` contract (reference core.h:71) done the
+TPU-native way.
+
+`knn_callback` is the drop-in analog of the reference's top-level dispatcher
+(core.cu:1282-1297): it routes to the production version (default "v8",
+matching the reference's shipped choice, which itself adapts down to the
+single-chip fused path when only one device is present).
+
+`nearest_neighbors` is the array-first convenience wrapper.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_knn.engine.registry import best_available_version, get_version
+
+
+def knn_callback(k: int, m: int, n: int, search, ref, version: str | None = None) -> np.ndarray:
+    """Exact 1-NN with the reference's contract: row-major (m,k)/(n,k)
+    float32 inputs, (m,) int32 argmin indices out, squared-L2 distance,
+    lowest-index ties.
+
+    With no explicit version, dispatches like the reference's top-level
+    `cudaCallback` (core.cu:1282-1297): the best registered version in
+    production preference order (v8 first, degrading down to v0).
+    """
+    v = get_version(version) if version is not None else best_available_version()
+    return v(k, m, n, np.asarray(search, np.float32), np.asarray(ref, np.float32))
+
+
+def nearest_neighbors(search, ref, version: str | None = None) -> np.ndarray:
+    """Array-first wrapper: search (m,k), ref (n,k) -> (m,) int32 indices."""
+    search = np.asarray(search, np.float32)
+    ref = np.asarray(ref, np.float32)
+    m, k = search.shape
+    n, k2 = ref.shape
+    if k != k2:
+        raise ValueError(f"dimension mismatch: search k={k}, ref k={k2}")
+    return knn_callback(k, m, n, search, ref, version=version)
