@@ -1,0 +1,110 @@
+"""Cross-version conformance: every registered version must agree with the
+v0 oracle under the reference's tolerance rule (index equality, or true
+distances within ±1e-3 — main.cu:79-99) on the TA shape matrix plus
+adversarial cases the reference never tested."""
+
+import numpy as np
+import pytest
+
+import tpu_knn
+from tpu_knn.harness.checker import check_results
+from tpu_knn.oracle import oracle_knn
+
+# Versions exercised by this module as they come online.
+ALL_VERSIONS = ["v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8", "v9", "v10"]
+
+
+def available(version):
+    return version in tpu_knn.list_versions()
+
+
+def run_and_check(version, search, ref):
+    m, k = search.shape
+    n = ref.shape[0]
+    baseline = oracle_knn(search, ref)
+    got = tpu_knn.knn_callback(k, m, n, search, ref, version=version)
+    assert got.shape == (m,)
+    assert got.dtype == np.int32
+    assert np.all((got >= 0) & (got < n)), f"{version}: out-of-range indices"
+    errors, total = check_results(baseline, got, search, ref)
+    assert errors == 0, f"{version}: {errors}/{total} errors vs oracle"
+
+
+@pytest.fixture(scope="session")
+def oracle_ta(ta_datasets):
+    return [oracle_knn(s, r) for (_, s, r) in ta_datasets]
+
+
+@pytest.mark.parametrize("version", ALL_VERSIONS)
+def test_ta_datasets(version, ta_datasets, oracle_ta):
+    if not available(version):
+        pytest.skip(f"{version} not implemented yet")
+    for ((k, m, n), search, ref), baseline in zip(ta_datasets, oracle_ta):
+        got = tpu_knn.knn_callback(k, m, n, search, ref, version=version)
+        errors, total = check_results(baseline, got, search, ref)
+        assert errors == 0, f"{version} on {(k, m, n)}: {errors}/{total} errors"
+
+
+@pytest.mark.parametrize("version", ALL_VERSIONS)
+def test_exact_duplicate_ties(version):
+    if not available(version):
+        pytest.skip(f"{version} not implemented yet")
+    # Every reference point duplicated: candidate must tie within tolerance.
+    rng = np.random.default_rng(7)
+    base = rng.random((100, 4), np.float32)
+    ref = np.repeat(base, 2, axis=0)  # pairs of identical points
+    search = rng.random((16, 4), np.float32)
+    run_and_check(version, search, ref)
+
+
+@pytest.mark.parametrize("version", ALL_VERSIONS)
+def test_single_query_large_n(version):
+    """m=1 (the reference v7's raison d'être) across chunk boundaries."""
+    if not available(version):
+        pytest.skip(f"{version} not implemented yet")
+    rng = np.random.default_rng(3)
+    search = rng.random((1, 8), np.float32)
+    ref = rng.random((200_000, 8), np.float32)
+    run_and_check(version, search, ref)
+
+
+@pytest.mark.parametrize("version", ALL_VERSIONS)
+def test_winner_in_every_chunk_position(version):
+    """Plant the unique nearest point at awkward positions (start, chunk
+    edges, end) to catch off-by-one index rebasing."""
+    if not available(version):
+        pytest.skip(f"{version} not implemented yet")
+    rng = np.random.default_rng(11)
+    n = 70_000  # spans the 65536 chunk boundary
+    k = 5
+    search = np.full((1, k), 0.5, np.float32)
+    for pos in [0, 1, 65535, 65536, 65537, n - 1]:
+        ref = rng.random((n, k), np.float32)
+        ref[pos] = 0.5  # exact hit
+        got = tpu_knn.knn_callback(k, 1, n, search, ref, version=version)
+        d = np.sum((ref[got[0]] - 0.5) ** 2)
+        assert d == 0.0, f"{version}: planted winner at {pos}, got {got[0]}"
+
+
+@pytest.mark.parametrize("version", ALL_VERSIONS)
+def test_awkward_shapes(version):
+    """Non-tile-aligned m/n/k (reference shapes are all powers of two; the
+    TPU build must mask correctly on ragged edges)."""
+    if not available(version):
+        pytest.skip(f"{version} not implemented yet")
+    rng = np.random.default_rng(5)
+    for (k, m, n) in [(1, 1, 1), (2, 3, 5), (7, 13, 129), (17, 100, 1000), (3, 257, 4099)]:
+        search = rng.random((m, k), np.float32)
+        ref = rng.random((n, k), np.float32)
+        run_and_check(version, search, ref)
+
+
+def test_v1_fallback_to_v2_on_huge_matrix():
+    """v1's guard (materialized-matrix size) must delegate to v2, like
+    v5→v4 in the reference (core.cu:481-485)."""
+    from tpu_knn.engine.registry import get_version
+
+    v1 = get_version("v1")
+    assert v1.guard is not None
+    assert not v1.guard(3, 1 << 15, 1 << 15)  # 2^30 > 2^28 elems
+    assert v1.guard(3, 1024, 65536)

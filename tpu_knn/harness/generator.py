@@ -109,8 +109,17 @@ class SampleStream:
     the reference points, both row-major AoS.
     """
 
-    def __init__(self, seed: int = DEFAULT_SEED):
-        self._rng = GlibcRand(seed)
+    def __init__(self, seed: int = DEFAULT_SEED, prefer_native: bool = True):
+        rng = None
+        if prefer_native:
+            try:
+                from tpu_knn import native
+
+                if native.available():
+                    rng = native.NativeRand(seed)
+            except Exception:
+                rng = None
+        self._rng = rng if rng is not None else GlibcRand(seed)
 
     def get_sample(self, k: int, m: int, n: int) -> Tuple[np.ndarray, np.ndarray]:
         search = self._rng.floats(k * m).reshape(m, k)

@@ -1,0 +1,55 @@
+"""On-demand build of the native host library.
+
+The reference builds its native code with CMake+nvcc (-Ofast -fopenmp,
+sources/CMakeLists.txt:4-6); here a single g++ invocation produces a shared
+library loaded via ctypes. Rebuilds automatically when the source changes
+(content hash in the artifact name); safe under concurrent callers (build to
+a temp name, atomic rename).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "tpuknn_native.cc")
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_build")
+
+CXX = os.environ.get("CXX", "g++")
+# -ffp-contract=off: no FMA contraction, so the oracle's float32 rounding is
+# bit-identical to the NumPy reference implementation (the correctness bar
+# here is bit-exactness with v0 semantics, stricter than the reference's
+# -Ofast build).
+CXXFLAGS = ["-O3", "-march=native", "-ffp-contract=off", "-fopenmp", "-shared", "-fPIC", "-std=c++17"]
+
+
+def lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read() + " ".join(CXXFLAGS).encode()).hexdigest()[:16]
+    return os.path.join(_CACHE_DIR, f"libtpuknn_{digest}.so")
+
+
+def build(force: bool = False) -> str:
+    """Compile (if needed) and return the shared library path."""
+    out = lib_path()
+    if not force and os.path.exists(out):
+        return out
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_CACHE_DIR)
+    os.close(fd)
+    try:
+        subprocess.run(
+            [CXX, *CXXFLAGS, _SRC, "-o", tmp],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        os.replace(tmp, out)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"native build failed:\n{e.stderr}") from e
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return out

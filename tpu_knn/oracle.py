@@ -73,6 +73,19 @@ def oracle_knn(
 
 
 def oracle_callback(k: int, m: int, n: int, search: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """The uniform version-callback signature (reference core.h:30-69)."""
+    """The uniform version-callback signature (reference core.h:30-69).
+
+    Prefers the native C++ oracle (bit-identical to this module's NumPy
+    implementation — enforced by tests/test_native.py::test_oracle_parity)
+    and falls back to NumPy when the toolchain is unavailable.
+    """
     assert search.shape == (m, k) and ref.shape == (n, k)
+    try:
+        from tpu_knn import native
+
+        if native.available():
+            idx, _ = native.oracle(search, ref)
+            return idx
+    except Exception:
+        pass
     return oracle_knn(search, ref)
