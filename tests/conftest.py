@@ -8,10 +8,21 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# On the axon image a sitecustomize imports jax and registers the TPU
+# backend at interpreter startup, so env vars set here are too late for
+# jax's import-time config. Backend *initialization* is still lazy though:
+# flipping jax_platforms via jax.config before the first device use, plus
+# XLA_FLAGS in the environment (read at CPU-client creation), reliably
+# lands on cpu with 8 virtual devices.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np
 import pytest

@@ -1,0 +1,68 @@
+"""Unit tests for the fused Pallas kernel building blocks (run in
+interpreter mode on the CPU backend; the compiled path is exercised by
+bench.py and __graft_entry__ on real TPU hardware)."""
+
+import numpy as np
+import pytest
+
+from tpu_knn.kernels.fused import fused_knn
+from tpu_knn.oracle import oracle_knn
+
+
+@pytest.mark.parametrize("soa", [True, False])
+def test_fused_matches_oracle(soa):
+    rng = np.random.default_rng(0)
+    q = rng.random((10, 5), np.float32)
+    r = rng.random((1000, 5), np.float32)
+    idx, score = fused_knn(q, r, soa=soa)
+    np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, r))
+    # Scores are the true squared distances from the exact refinement pass.
+    d2 = np.sum((q - r[np.asarray(idx)]) ** 2, axis=1)
+    np.testing.assert_allclose(np.asarray(score), d2, rtol=1e-6)
+
+
+def test_fused_multi_tile_m_and_n():
+    rng = np.random.default_rng(1)
+    q = rng.random((20, 3), np.float32)
+    r = rng.random((700, 3), np.float32)
+    idx, _ = fused_knn(q, r, tile_m=8, tile_n=256)  # ragged both axes
+    np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, r))
+
+
+def test_fused_tie_break_lowest_index_across_tiles():
+    q = np.zeros((1, 4), np.float32)
+    r = np.ones((600, 4), np.float32)
+    r[200] = 0.5  # first minimum
+    r[500] = 0.5  # duplicate in a later tile
+    idx, _ = fused_knn(q, r, tile_m=8, tile_n=256)
+    assert int(idx[0]) == 200
+
+
+def test_fused_tie_break_within_tile():
+    q = np.zeros((1, 4), np.float32)
+    r = np.ones((256, 4), np.float32)
+    r[17] = 0.5
+    r[18] = 0.5
+    idx, _ = fused_knn(q, r, tile_m=8, tile_n=256)
+    assert int(idx[0]) == 17
+
+
+def test_fused_padding_never_wins():
+    # All reference points far away; n not a tile multiple — the padded
+    # (zero) rows would be the nearest if unmasked.
+    q = np.zeros((3, 4), np.float32)
+    r = np.full((130, 4), 10.0, np.float32)
+    r[129] = 9.0
+    idx, _ = fused_knn(q, r, tile_m=8, tile_n=128)
+    np.testing.assert_array_equal(np.asarray(idx), [129, 129, 129])
+
+
+def test_fused_planted_winner_positions():
+    rng = np.random.default_rng(2)
+    n = 1000
+    q = np.full((2, 6), 0.5, np.float32)
+    for pos in [0, 255, 256, 511, 999]:
+        r = rng.random((n, 6), np.float32)
+        r[pos] = 0.5
+        idx, _ = fused_knn(q, r, tile_m=8, tile_n=256)
+        assert int(idx[0]) == pos and int(idx[1]) == pos

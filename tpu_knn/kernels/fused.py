@@ -8,16 +8,17 @@ core.cu:315-330), and pins operands in specialized read-only memory spaces
 
 - fusion      -> one Pallas kernel: per (m-tile, n-tile) grid step, an MXU
                  matmul produces the score tile  s = ‖r‖² − 2·q·r  (the
-                 ‖q‖² term is argmin-invariant and dropped), the VPU takes
-                 the tile argmin, and a running (best, index) pair lives in
-                 VMEM scratch across the sequential n sweep. HBM traffic is
-                 exactly one read of R — the "blockwise attention" pattern
-                 with (min, argmin) in place of running softmax.
+                 ‖q‖² term is argmin-invariant and dropped), and a running
+                 (best, index) pair lives in VMEM scratch across the
+                 sequential n sweep. HBM traffic is exactly one read of R —
+                 the "blockwise attention" pattern with (min, argmin) in
+                 place of running softmax.
 - layout      -> v4 stores R as SoA (k, n): n rides the 128-wide lanes, k
                  the sublanes, so reference loads use full lanes and the
                  matmul contraction sits on the RHS sublane axis. v3 keeps
-                 the AoS (n, k) layout to preserve the reference's
-                 v3-vs-v4 capability distinction (and its measurable cost).
+                 the AoS (n, k) layout and pays an on-chip transpose per
+                 tile, preserving the reference's v3-vs-v4 capability
+                 distinction (and its measurable cost).
 - memory space-> queries are VMEM-resident across the whole n sweep (their
                  block index map is constant in the n grid axis, so Pallas
                  fetches them once per m-tile) — v6's constant-memory
@@ -25,14 +26,29 @@ core.cu:315-330), and pins operands in specialized read-only memory spaces
                  resident with a VMEM-budget guard and v4 fallback,
                  mirroring v6's k*m<=16384 guard (core.cu:603-607).
 
-Tie-breaking matches v0 exactly: within a tile `jnp.argmin` returns the
-first (lowest) column; across tiles the carry update is strict `<` and
-tiles arrive in ascending n order; across m the rows are independent.
+Two TPU-specific performance choices, both measured on v5e:
 
-All kernels also emit the winning partial score s* so multi-level reducers
-(v7 single-chip two-level, v8 cross-chip) can fold partials without
-recomputing distances: s is comparable across reference shards because the
-dropped ‖q‖² shift is per-query constant.
+1. The score matmul runs as a manual bf16x3 split by default ("bf16x3"):
+   q and r are split into bf16 (hi, lo) pairs and q·r is computed as
+   hi·hi + hi·lo + lo·hi on the MXU with f32 accumulation — 3 MXU passes
+   instead of HIGHEST's 6, with ~2^-21 relative error, far inside the
+   harness' ±1e-3 tolerance (the reference itself compiles -use_fast_math
+   and gates by tolerance, BASELINE.md). "highest" (true f32) and
+   "default" (single bf16 pass — fails the gate at n=2^20; kept for
+   measurement) are selectable.
+2. The running reduction is elementwise per lane slot: scratch holds a
+   (tile_m, 128) best-score and best-index pair, folded with pure VPU
+   compare/select ops — no cross-lane reduction anywhere in the hot loop.
+   The kernel emits the 128 per-lane candidates; a final XLA pass
+   (_refine) recomputes their distances exactly in f32 diff form — whose
+   error scales with d² itself, fixing the norm-trick's catastrophic
+   cancellation for near-duplicates — and resolves exact ties to the
+   lowest reference index, preserving v0's semantics (core.cu:50-54).
+
+The refinement output (exact squared distance per winner) is what
+multi-level reducers fold: v7's single-chip two-level reduce and v8's
+cross-chip allreduce compare exact d², which is directly comparable across
+reference shards.
 """
 
 from __future__ import annotations
@@ -54,79 +70,121 @@ from tpu_knn.utils.shapes import cdiv, round_up
 #: back to v4 (the analog of constant memory's 64 KB, scaled to VMEM).
 V6_QUERY_VMEM_BYTES = 4 * 1024 * 1024
 
+#: Score-matmul precision mode: "bf16x3" (default), "highest", "default".
+DEFAULT_PRECISION = "bf16x3"
 
-def _score_tile(q_tile, r_tile, *, soa: bool):
-    """(tile_m, kp) x r-tile -> (tile_m, tile_n) scores ‖r‖²−2q·r.
+_I32_MAX = np.int32(2**31 - 1)
 
-    soa: r_tile is (kp, tile_n) (contraction on RHS sublanes);
-    aos: r_tile is (tile_n, kp) (contraction on RHS lanes).
+
+def _split_bf16(x):
+    """Split f32 into (hi, lo) bf16 so x ≈ hi + lo (error ~2^-17 |x|)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _qr_dot(q_tile, r_tile, precision: str):
+    """(tile_m, kp) x (kp, tile_n) -> (tile_m, tile_n) f32 on the MXU."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        q_hi, q_lo = _split_bf16(q_tile)
+        r_hi, r_lo = _split_bf16(r_tile)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(q_hi, r_hi) + (d(q_hi, r_lo) + d(q_lo, r_hi))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        q_tile, r_tile, dimension_numbers=dims,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _score_tile(q_tile, r_tile, *, soa: bool, precision: str):
+    """Scores ‖r‖²−2q·r for one tile.
+
+    soa: r_tile is (kp, tile_n); aos: r_tile is (tile_n, kp) and pays an
+    on-chip transpose (the v3-vs-v4 distinction, README.md:105-111).
     """
-    if soa:
-        r_norm = jnp.sum(r_tile * r_tile, axis=0, keepdims=True)  # (1, tile_n)
-        qr = jax.lax.dot_general(
-            q_tile,
-            r_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    else:
-        r_norm = jnp.sum(r_tile * r_tile, axis=1)[None, :]  # (1, tile_n)
-        qr = jax.lax.dot_general(
-            q_tile,
-            r_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    return r_norm - 2.0 * qr
+    if not soa:
+        r_tile = r_tile.T
+    r_norm = jnp.sum(r_tile * r_tile, axis=0, keepdims=True)  # (1, tile_n)
+    return r_norm - 2.0 * _qr_dot(q_tile, r_tile, precision)
 
 
-def _fused_kernel(q_ref, r_ref, out_i_ref, out_s_ref, best_s, best_i, *,
-                  n: int, tile_n: int, n_tiles: int, soa: bool):
-    """Grid (m_tiles, n_tiles), n innermost; scratch carries the running
-    (score, index) per query row across the n sweep."""
+def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
+                  n: int, tile_n: int, n_tiles: int, soa: bool,
+                  precision: str):
+    """Grid (m_tiles, n_tiles), n innermost; scratch carries the per-lane
+    running (score, index) across the n sweep.
+
+    Output is the (tile_m, 128) per-lane *candidate set*, not a single
+    winner: the norm-trick score suffers catastrophic cancellation when
+    the true distance is tiny (error is relative to ‖r‖², not d²), so the
+    final selection recomputes exact f32 diff-form distances over the 128
+    candidates outside the kernel (see _refine) — errors there scale with
+    d² itself, matching the reference's diff-form conditioning
+    (core.cu:44-49)."""
     j = pl.program_id(1)
+    ragged = n_tiles * tile_n != n
 
     @pl.when(j == 0)
     def _():
         best_s[:] = jnp.full_like(best_s, jnp.inf)
-        best_i[:] = jnp.zeros_like(best_i)
+        best_i[:] = jnp.full_like(best_i, _I32_MAX)
 
-    s = _score_tile(q_ref[:], r_ref[:], soa=soa)
+    s = _score_tile(q_ref[:], r_ref[:], soa=soa, precision=precision)
     tile_m = s.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
-    s = jnp.where(col < n, s, jnp.inf)
+    if ragged:
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
+        s = jnp.where(col < n, s, jnp.inf)
 
-    tile_min = jnp.min(s, axis=1, keepdims=True)                    # (tile_m, 1)
-    tile_arg = jnp.argmin(s, axis=1).astype(jnp.int32)[:, None]     # first min
-    better = tile_min < best_s[:]  # strict: earlier (lower) index wins ties
-    best_i[:] = jnp.where(better, tile_arg + j * tile_n, best_i[:])
-    best_s[:] = jnp.where(better, tile_min, best_s[:])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
+    cur_s = best_s[:]
+    cur_i = best_i[:]
+    for c in range(tile_n // 128):
+        sc = s[:, c * 128:(c + 1) * 128]
+        better = sc < cur_s  # strict: earliest n wins per lane slot
+        cur_i = jnp.where(better, lane + (j * tile_n + c * 128), cur_i)
+        cur_s = jnp.minimum(cur_s, sc)
+    best_s[:] = cur_s
+    best_i[:] = cur_i
 
     @pl.when(j == n_tiles - 1)
     def _():
-        out_i_ref[:] = best_i[:]
-        out_s_ref[:] = best_s[:]
+        out_i_ref[:] = cur_i
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused(m_pad: int, n_pad: int, k_pad: int, n: int,
-                 tile_m: int, tile_n: int, soa: bool):
-    """Compile-cached fused pallas_call for padded shapes."""
+def _build_fused(m: int, n: int, k: int,
+                 tile_m: int, tile_n: int, soa: bool,
+                 precision: str = DEFAULT_PRECISION):
+    """Compile-cached fused pipeline: pad + layout + kernel + unpad, all
+    inside ONE jit so a call is a single device dispatch."""
+    # SoA blocks put k on sublanes (pad to 8); AoS blocks put k on lanes,
+    # where padding k would force XLA to materialize an 8-16x padded copy
+    # of the whole reference array (observed HBM OOM at n=2^24, k=3) — the
+    # MXU pads the contraction internally instead.
+    k_pad = round_up(k, 8) if soa else k
+    m_pad = round_up(m, tile_m)
+    n_pad = round_up(n, tile_n)
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
     kernel = functools.partial(
-        _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles, soa=soa
+        _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles, soa=soa,
+        precision=precision,
     )
     if soa:
         r_spec = pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
-        flops_k = k_pad
     else:
         r_spec = pl.BlockSpec((tile_n, k_pad), lambda i, j: (j, 0),
                               memory_space=pltpu.VMEM)
-        flops_k = k_pad
 
     call = pl.pallas_call(
         kernel,
@@ -136,41 +194,64 @@ def _build_fused(m_pad: int, n_pad: int, k_pad: int, n: int,
                          memory_space=pltpu.VMEM),
             r_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((tile_m, 1), jnp.float32),
-            pltpu.VMEM((tile_m, 1), jnp.int32),
+            pltpu.VMEM((tile_m, 128), jnp.float32),
+            pltpu.VMEM((tile_m, 128), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * flops_k,
-            bytes_accessed=m_pad * k_pad * 4 + n_pad * k_pad * 4 + m_pad * 8,
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=m_pad * k_pad * 4 + n_pad * k_pad * 4 + m_pad * 512,
             transcendentals=0,
         ),
         interpret=interpret_mode(),
     )
 
     @jax.jit
-    def run(q_padded, r_layout):
-        out_i, out_s = call(q_padded, r_layout)
-        return out_i[:, 0], out_s[:, 0]
+    def run(search, ref):
+        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
+        r = jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k)))
+        if soa:
+            # v4's mat_inv analog: one XLA transpose into (k, n) so n rides
+            # the lanes (reference core.cu:315-330; README.md:105-111).
+            r = r.T
+        cand = call(q, r)
+        return _refine(search, ref, cand[:m], n)
 
     return run
 
 
+def _refine(search, ref, cand, n):
+    """Exact selection over per-lane candidates.
+
+    cand: (m, 128) int32 candidate reference indices (I32_MAX = empty).
+    Recomputes f32 diff-form squared distances for every candidate and
+    picks the minimum, breaking exact ties to the lowest reference index —
+    v0's semantics (core.cu:50-54) at diff-form conditioning.
+
+    Returns (idx (m,) i32, d2 (m,) f32 true squared distance).
+    """
+    valid = cand < n
+    safe = jnp.where(valid, cand, 0)
+    r_g = jnp.take(ref, safe, axis=0)               # (m, 128, k)
+    diff = search[:, None, :] - r_g
+    d2 = jnp.sum(diff * diff, axis=-1)              # (m, 128) f32 exact-form
+    d2 = jnp.where(valid, d2, jnp.inf)
+    v = jnp.min(d2, axis=1, keepdims=True)
+    tie = jnp.where(d2 == v, safe, _I32_MAX)
+    idx = jnp.min(tie, axis=1).astype(jnp.int32)    # lowest index among ties
+    return idx, v[:, 0]
+
+
 def fused_knn(search, ref, *, soa: bool = True,
-              tile_m: int | None = None, tile_n: int | None = None):
+              tile_m: int | None = None, tile_n: int | None = None,
+              precision: str = DEFAULT_PRECISION):
     """Run the fused kernel on (m,k)/(n,k) arrays.
 
-    Returns (indices (m,) i32, partial scores (m,) f32) as device arrays.
+    Returns (indices (m,) i32, true squared distances (m,) f32) as device
+    arrays (distances from the exact diff-form refinement pass).
     Padding: k zero-padded to a sublane multiple (distance-neutral), m to
     tile_m (extra rows dropped), n to tile_n (masked in-kernel with +inf).
     """
@@ -182,19 +263,8 @@ def fused_knn(search, ref, *, soa: bool = True,
         tm, tn = pick_tiles(k, m, n)
         tile_m = tile_m or tm
         tile_n = tile_n or tn
-    k_pad = round_up(k, 8)
-    m_pad = round_up(m, tile_m)
-    n_pad = round_up(n, tile_n)
-
-    q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
-    r = jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k)))
-    if soa:
-        # v4's mat_inv analog: one XLA transpose into (k, n) so n rides the
-        # lanes (reference core.cu:315-330; README.md:105-111).
-        r = r.T
-    run = _build_fused(m_pad, n_pad, k_pad, n, tile_m, tile_n, soa)
-    idx, score = run(q, r)
-    return idx[:m], score[:m]
+    run = _build_fused(m, n, k, tile_m, tile_n, soa, precision)
+    return run(search, ref)
 
 
 def _to_host(idx) -> np.ndarray:
@@ -223,8 +293,8 @@ def v6_callback(k, m, n, search, ref):
 register_version(
     "v3",
     v3_callback,
-    "fused Pallas streaming kernel, AoS reference layout "
-    "(reference v3, core.cu:231-312)",
+    "fused Pallas streaming kernel, AoS reference layout with per-tile "
+    "on-chip transpose (reference v3, core.cu:231-312)",
 )
 register_version(
     "v4",
