@@ -1,0 +1,94 @@
+"""v8 multi-chip tests on the virtual 8-device CPU mesh — the honest analog
+of the reference's adapt-to-device-count testing (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_knn.distributed.sharded import default_mesh, sharded_knn
+from tpu_knn.oracle import oracle_callback
+
+
+def oracle(search, ref):
+    m, k = search.shape
+    return oracle_callback(k, m, ref.shape[0], search, ref)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("method", ["pmin", "ring"])
+def test_matches_oracle_sp8(method):
+    rng = np.random.default_rng(0)
+    q = rng.random((17, 6), np.float32)
+    r = rng.random((20_000, 6), np.float32)
+    idx, d2 = sharded_knn(q, r, mesh=default_mesh(dp=1, sp=8), method=method)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sum((q - r[np.asarray(idx)]) ** 2, axis=1), rtol=1e-6
+    )
+
+
+def test_dp2_sp4_mesh():
+    rng = np.random.default_rng(1)
+    q = rng.random((64, 8), np.float32)
+    r = rng.random((10_000, 8), np.float32)
+    idx, _ = sharded_knn(q, r, mesh=default_mesh(dp=2, sp=4))
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))
+
+
+def test_winner_in_every_shard():
+    """Plant each query's unique winner in a different sp shard — catches
+    index-rebase and cross-query mixups at the mesh level (the distributed
+    version of the reference's §2.4 bug)."""
+    rng = np.random.default_rng(2)
+    m, k, n = 8, 4, 16_384
+    ref = rng.random((n, k), np.float32) + 2.0
+    search = rng.random((m, k), np.float32)
+    shard = n // 8
+    winners = []
+    for i in range(m):
+        pos = i * shard + 7 * i + 3
+        ref[pos] = search[i]
+        winners.append(pos)
+    idx, d2 = sharded_knn(search, ref, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx), winners)
+    np.testing.assert_array_equal(np.asarray(d2), np.zeros(m, np.float32))
+
+
+def test_tie_across_shards_lowest_global_index():
+    q = np.zeros((1, 3), np.float32)
+    n = 8192
+    r = np.ones((n, 3), np.float32)
+    r[1200] = 0.5   # shard 1
+    r[7000] = 0.5   # shard 6 — identical distance, higher global index
+    idx, _ = sharded_knn(q, r, mesh=default_mesh(dp=1, sp=8))
+    assert int(idx[0]) == 1200
+
+
+def test_ragged_n_across_shards():
+    rng = np.random.default_rng(3)
+    q = rng.random((5, 4), np.float32)
+    r = rng.random((10_001, 4), np.float32)  # pad rows must never win
+    idx, _ = sharded_knn(q, r, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))
+
+
+def test_v8_guard_delegates_small_n():
+    from tpu_knn.engine.registry import get_version
+
+    v8 = get_version("v8")
+    assert v8.guard is not None
+    assert not v8.guard(3, 1024, 1024)      # small n -> v7
+    assert v8.guard(3, 1024, 1 << 20) == (len(jax.devices()) > 1)
+
+
+def test_v8_version_on_ta_like_shape():
+    import tpu_knn
+
+    rng = np.random.default_rng(4)
+    q = rng.random((32, 16), np.float32)
+    r = rng.random((1 << 19, 16), np.float32)
+    got = tpu_knn.knn_callback(16, 32, 1 << 19, q, r, version="v8")
+    np.testing.assert_array_equal(got, oracle(q, r))

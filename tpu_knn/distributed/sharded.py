@@ -1,0 +1,128 @@
+"""v8 — multi-chip reference-set sharding over a device mesh.
+
+The reference v8 (core.cu:790-959) shards the reference set contiguously
+across GPUs (one OpenMP host thread per device), runs the full v7 pipeline
+per shard, gathers partial winners through a critical section, rebases
+local indices by shard offset, and reduces on the CPU. The TPU-native
+design replaces every piece with mesh-native machinery:
+
+- sharding: a 2-D `jax.sharding.Mesh` ("dp", "sp"): queries are data-
+  parallel over "dp", the reference set is sharded over "sp" (the
+  context/sequence-parallel axis — SURVEY.md §2.3 item 8).
+- per-shard compute: the same fused Pallas candidate kernel + exact
+  refinement as v4/v7, under `shard_map`.
+- index rebase: local + axis_index("sp") * shard_len, per query row
+  (the reference's offset fix-up, core.cu:931-933, done correctly).
+- reduction: min-index allreduce over ICI (collectives.py) instead of the
+  reference's host-staged critical-section gather.
+
+Adaptive dispatch mirrors the reference's guards (core.cu:865-872):
+one device -> v7; small n (not worth the collective) -> v7.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_knn.distributed.collectives import min_index_allreduce
+from tpu_knn.engine.registry import register_version
+from tpu_knn.kernels.fused import _build_fused_candidates, _refine
+from tpu_knn.kernels.tuning import pick_tiles
+from tpu_knn.utils.shapes import cdiv, round_up
+
+#: n-padding fill whose score overflows to +inf (cannot win a lane slot).
+PAD_VALUE = 1e30
+
+#: Below this reference-set size, delegate to the single-chip path —
+#: the reference's `n <= min(2^18, m << 10)` guard (core.cu:871-872).
+def _small_n(k: int, m: int, n: int) -> bool:
+    return n <= min(1 << 18, m << 10)
+
+
+def default_mesh(dp: int = 1, sp: int | None = None) -> Mesh:
+    """Mesh over all local devices: ("dp", "sp") = (queries, reference)."""
+    devices = np.array(jax.devices())
+    if sp is None:
+        sp = len(devices) // dp
+    return Mesh(devices[: dp * sp].reshape(dp, sp), ("dp", "sp"))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
+                   method: str = "pmin"):
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    m_pad = round_up(m, dp * 8)
+    m_local = m_pad // dp
+    tile_m, tile_n = pick_tiles(k, m_local, cdiv(n, sp))
+    n_local = round_up(cdiv(n, sp), tile_n)
+    n_pad = n_local * sp
+    candidates = _build_fused_candidates(m_local, n_local, k,
+                                         tile_m, tile_n, soa=True)
+
+    def shard_fn(q_local, r_local):
+        # q_local: (m_local, k); r_local: (n_local, k)
+        cand = candidates(q_local, r_local)            # (m_local, 128) local idx
+        idx, d2 = _refine(q_local, r_local, cand, n_local)
+        # Global index rebase, per query row (core.cu:931-933 done right).
+        gidx = idx + jax.lax.axis_index("sp").astype(jnp.int32) * n_local
+        d2, gidx = min_index_allreduce(d2, gidx, "sp", method=method)
+        return gidx, d2
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("sp", None)),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(search, ref):
+        q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
+        r = jnp.pad(ref, ((0, n_pad - n), (0, 0)), constant_values=PAD_VALUE)
+        idx, d2 = mapped(q, r)
+        return idx[:m], d2[:m]
+
+    return run
+
+
+def sharded_knn(search, ref, *, mesh: Mesh | None = None,
+                method: str = "pmin"):
+    """Mesh-sharded exact 1-NN. Returns (idx (m,), d2 (m,)) device arrays."""
+    search = jnp.asarray(search, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    m, k = search.shape
+    n = ref.shape[0]
+    if mesh is None:
+        mesh = default_mesh()
+    run = _build_sharded(m, n, k, mesh, method)
+    return run(search, ref)
+
+
+def v8_callback(k, m, n, search, ref):
+    idx, _ = sharded_knn(search, ref)
+    return np.asarray(jax.device_get(idx), dtype=np.int32)
+
+
+def _v8_guard(k: int, m: int, n: int) -> bool:
+    # Delegate like the reference: 1 device or small n -> v7
+    # (core.cu:865-872). Also require at least one point per shard.
+    num = len(jax.devices())
+    return num > 1 and not _small_n(k, m, n) and n >= num
+
+
+register_version(
+    "v8",
+    v8_callback,
+    "multi-chip reference-set sharding: shard_map over a (dp, sp) mesh, "
+    "per-shard fused kernel + exact refine, min-index allreduce over ICI "
+    "(reference v8, core.cu:790-959)",
+    guard=_v8_guard,
+    fallback="v7",
+)

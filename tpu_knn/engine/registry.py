@@ -83,6 +83,8 @@ def _ensure_builtins() -> None:
     for mod in (
         "tpu_knn.kernels.twophase",
         "tpu_knn.kernels.fused",
+        "tpu_knn.kernels.twolevel",
+        "tpu_knn.kernels.dma_pipeline",
         "tpu_knn.distributed.sharded",
         "tpu_knn.kdtree.versions",
     ):

@@ -161,11 +161,12 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fused(m: int, n: int, k: int,
-                 tile_m: int, tile_n: int, soa: bool,
-                 precision: str = DEFAULT_PRECISION):
-    """Compile-cached fused pipeline: pad + layout + kernel + unpad, all
-    inside ONE jit so a call is a single device dispatch."""
+def _build_fused_candidates(m: int, n: int, k: int,
+                            tile_m: int, tile_n: int, soa: bool,
+                            precision: str = DEFAULT_PRECISION):
+    """Build the candidate stage: (search (m,k), ref (n,k)) -> (m, 128)
+    per-lane candidate indices. Traceable (jit/vmap-able); v7 vmaps it over
+    n-partitions and v8 runs it per mesh shard."""
     # SoA blocks put k on sublanes (pad to 8); AoS blocks put k on lanes,
     # where padding k would force XLA to materialize an 8-16x padded copy
     # of the whole reference array (observed HBM OOM at n=2^24, k=3) — the
@@ -209,16 +210,30 @@ def _build_fused(m: int, n: int, k: int,
         interpret=interpret_mode(),
     )
 
-    @jax.jit
-    def run(search, ref):
+    def candidates(search, ref):
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         r = jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k)))
         if soa:
             # v4's mat_inv analog: one XLA transpose into (k, n) so n rides
             # the lanes (reference core.cu:315-330; README.md:105-111).
             r = r.T
-        cand = call(q, r)
-        return _refine(search, ref, cand[:m], n)
+        return call(q, r)[:m]
+
+    return candidates
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fused(m: int, n: int, k: int,
+                 tile_m: int, tile_n: int, soa: bool,
+                 precision: str = DEFAULT_PRECISION):
+    """Compile-cached fused pipeline: candidates + exact refinement, all
+    inside ONE jit so a call is a single device dispatch."""
+    candidates = _build_fused_candidates(m, n, k, tile_m, tile_n, soa,
+                                         precision)
+
+    @jax.jit
+    def run(search, ref):
+        return _refine(search, ref, candidates(search, ref), n)
 
     return run
 
