@@ -1,0 +1,122 @@
+"""KD-tree tests: build invariants, CPU query (v9), device traversal (v10)."""
+
+import numpy as np
+import pytest
+
+from tpu_knn.kdtree.build import KDTree, build_kdtree, query_numpy, _build_numpy
+from tpu_knn.kdtree.traversal import DeviceKDTree
+from tpu_knn.oracle import oracle_callback
+
+
+def oracle(search, ref):
+    m, k = search.shape
+    return oracle_callback(k, m, ref.shape[0], search, ref)
+
+
+@pytest.mark.parametrize("native_build", [True, False])
+def test_build_invariants(native_build):
+    rng = np.random.default_rng(0)
+    ref = rng.random((500, 4), np.float32)
+    tree = build_kdtree(ref, prefer_native=native_build)
+    n = 500
+    assert tree.p.shape == (4 * n,)
+    # Every point appears exactly once.
+    stored = np.sort(tree.p[tree.p >= 0])
+    np.testing.assert_array_equal(stored, np.arange(n))
+    # BST property along each node's split dimension.
+    def check(node, lo_bounds, hi_bounds):
+        if node >= 4 * n or tree.p[node] < 0:
+            return
+        pt = tree.ref[tree.p[node]]
+        for d in range(4):
+            assert pt[d] >= lo_bounds[d] - 1e-7
+            assert pt[d] <= hi_bounds[d] + 1e-7
+        d = tree.dim[node]
+        v = tree.split_val[node]
+        lo2, hi2 = list(lo_bounds), list(hi_bounds)
+        hi2[d] = min(hi_bounds[d], v)
+        lo2[d] = max(lo_bounds[d], v)
+        check(2 * node, lo_bounds, hi2)
+        check(2 * node + 1, lo2, hi_bounds)
+    check(1, [-np.inf] * 4, [np.inf] * 4)
+
+
+def test_numpy_and_native_builds_both_query_exactly():
+    rng = np.random.default_rng(1)
+    ref = rng.random((2000, 3), np.float32)
+    q = rng.random((50, 3), np.float32)
+    want = oracle(q, ref)
+    for prefer in (True, False):
+        tree = build_kdtree(ref, prefer_native=prefer)
+        idx, d2 = query_numpy(tree, q)
+        # Tie-tolerant exactness: distances must equal the oracle's.
+        d_or = np.sum((q - ref[want]) ** 2, axis=1)
+        d_got = np.sum((q - ref[idx]) ** 2, axis=1)
+        np.testing.assert_allclose(d_got, d_or, rtol=1e-6, atol=0)
+
+
+def test_v9_native_vs_oracle():
+    import tpu_knn
+
+    rng = np.random.default_rng(2)
+    ref = rng.random((5000, 3), np.float32)
+    q = rng.random((200, 3), np.float32)
+    got = tpu_knn.knn_callback(3, 200, 5000, q, ref, version="v9")
+    np.testing.assert_array_equal(got, oracle(q, ref))
+
+
+def test_v10_device_traversal_vs_oracle():
+    rng = np.random.default_rng(3)
+    ref = rng.random((3000, 3), np.float32)
+    q = rng.random((64, 3), np.float32)
+    tree = build_kdtree(ref)
+    idx, d2 = DeviceKDTree(tree).query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sum((q - ref[np.asarray(idx)]) ** 2, axis=1), rtol=1e-6
+    )
+
+
+def test_v10_duplicates_tie_to_lowest_index():
+    ref = np.ones((64, 3), np.float32)
+    ref[10] = 0.25
+    ref[40] = 0.25  # duplicate, higher index
+    q = np.full((1, 3), 0.25, np.float32)
+    tree = build_kdtree(ref)
+    idx, d2 = DeviceKDTree(tree).query(q)
+    assert int(idx[0]) == 10 and float(d2[0]) == 0.0
+
+
+def test_v10_points_on_split_plane():
+    """Equal-coordinate points across the splitting plane must be found
+    (prune is strict >)."""
+    ref = np.array([[0.5, 0.0], [0.5, 1.0], [0.5, 0.5], [0.1, 0.5], [0.9, 0.5]],
+                   np.float32)
+    q = np.array([[0.5, 0.55]], np.float32)
+    tree = build_kdtree(ref)
+    idx, _ = DeviceKDTree(tree).query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_k_guard_falls_back_to_oracle():
+    import tpu_knn
+
+    rng = np.random.default_rng(4)
+    ref = rng.random((100, 20), np.float32)  # k=20 > 16
+    q = rng.random((5, 20), np.float32)
+    for v in ("v9", "v10"):
+        got = tpu_knn.knn_callback(20, 5, 100, q, ref, version=v)
+        np.testing.assert_array_equal(got, oracle(q, ref))
+
+
+def test_v10_ta_shape():
+    import tpu_knn
+
+    rng = np.random.default_rng(5)
+    ref = rng.random((65536, 3), np.float32)
+    q = rng.random((128, 3), np.float32)
+    got = tpu_knn.knn_callback(3, 128, 65536, q, ref, version="v10")
+    want = oracle(q, ref)
+    d_or = np.sum((q - ref[want]) ** 2, axis=1)
+    d_got = np.sum((q - ref[got]) ** 2, axis=1)
+    np.testing.assert_allclose(d_got, d_or, rtol=1e-6, atol=0)
