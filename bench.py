@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Benchmark entry — prints ONE JSON line with the headline metric.
+
+Headline: the reference's largest custom dataset ds11 = (k=16, m=1024,
+n=2^20) end-to-end fused 1-NN time on one TPU chip, against the reference's
+best number for that shape: 17.292 ms for v8 on 4x V100 (README.md:291,
+BASELINE.md). vs_baseline is the speedup factor (reference_ms / ours).
+
+Details for every measured shape land in BENCH_DETAILS.json. Timing
+protocol mirrors the reference's WarmUP/BenchMark statics (core.cu:
+1192-1281): absorb cold start first (here: the axon tunnel's first
+device-to-host transfer, ~100 s, plus jit compiles), then average
+pipelined dispatches of the single-jit pipeline.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# (name, k, m, n, reference_ms, reference_hw)
+SHAPES = [
+    ("ds7", 16, 1024, 65536, 2.689, "1x V100 (v7/v8)"),
+    ("ds8", 3, 1, 1 << 24, 25.650, "4x V100 (v8)"),
+    ("ds9", 16, 1, 1 << 24, 100.346, "4x V100 (v8)"),
+    ("ds10", 3, 1024, 1 << 20, 9.971, "4x V100 (v8)"),
+    ("ds11", 16, 1024, 1 << 20, 17.292, "4x V100 (v8)"),
+]
+
+HEADLINE = "ds11"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_knn.harness.checker import check_results
+    from tpu_knn.kernels.fused import fused_knn
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    # WarmUP (reference core.cu:1192-1229): absorb transfer-path and
+    # compile cold start before any timing. The axon tunnel's first
+    # device-to-host transfer has been observed anywhere from 30 s to
+    # several minutes.
+    print("# warmup: first device round-trip...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    _ = jax.device_get(jnp.zeros((8, 128)))
+    warm_s = time.time() - t0
+    print(f"# warmup done in {warm_s:.1f}s", file=sys.stderr, flush=True)
+
+    shapes = SHAPES if on_tpu else [("tiny", 8, 32, 4096, None, None)]
+    key = jax.random.PRNGKey(0)
+    details = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "warmup_first_transfer_s": round(warm_s, 2),
+        "rows": [],
+    }
+
+    headline_ms = None
+    headline_base = None
+    for (name, k, m, n, base_ms, base_hw) in shapes:
+        kq = jax.random.fold_in(key, hash(name) % (2**31))
+        q = jax.random.uniform(jax.random.fold_in(kq, 1), (m, k), jnp.float32)
+        r = jax.random.uniform(jax.random.fold_in(kq, 2), (n, k), jnp.float32)
+        q.block_until_ready()
+        r.block_until_ready()
+        print(f"# {name}: data ready, compiling...", file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        idx, d2 = fused_knn(q, r)
+        idx.block_until_ready()
+        compile_s = time.time() - t0
+        print(f"# {name}: compiled in {compile_s:.1f}s, timing...",
+              file=sys.stderr, flush=True)
+
+        reps = 20 if m * n <= (1 << 30) else 10
+        t0 = time.time()
+        for _i in range(reps):
+            idx, d2 = fused_knn(q, r)
+        idx.block_until_ready()
+        ms = (time.time() - t0) / reps * 1e3
+
+        row = {
+            "name": name,
+            "k": k, "m": m, "n": n,
+            "ms": round(ms, 3),
+            "compile_s": round(compile_s, 2),
+            "reference_ms": base_ms,
+            "reference_hw": base_hw,
+            "speedup_vs_reference": round(base_ms / ms, 2) if base_ms else None,
+            "qps": round(m / (ms / 1e3)),
+            # distance+argmin FLOPs (2*m*n*k for the matmul form)
+            "tflops_effective": round(2 * m * n * k / (ms / 1e3) / 1e12, 3),
+        }
+
+        # Correctness gate vs the native oracle where readback is cheap
+        # (the tunnel's D2H runs ~30 MB/s; n=2^24 shapes are gated by the
+        # test suite instead).
+        if n <= (1 << 20):
+            print(f"# {name}: correctness gate...", file=sys.stderr, flush=True)
+            qn = np.asarray(q)
+            rn = np.asarray(r)
+            try:
+                from tpu_knn import native
+
+                base_idx, _ = native.oracle(qn, rn)
+            except Exception:
+                from tpu_knn.oracle import oracle_knn
+
+                base_idx = oracle_knn(qn, rn)
+            errors, total = check_results(base_idx, np.asarray(idx), qn, rn)
+            row["errors"] = f"{errors}/{total}"
+            if errors:
+                print(f"CORRECTNESS FAILURE on {name}: {errors}/{total}",
+                      file=sys.stderr)
+                sys.exit(1)
+        details["rows"].append(row)
+        print(f"# {name} ({k},{m},{n}): {ms:.3f} ms  "
+              f"ref={base_ms} ({base_hw})  {row.get('errors', '')}",
+              file=sys.stderr, flush=True)
+        if name == HEADLINE:
+            headline_ms = ms
+            headline_base = base_ms
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    if headline_ms is None:  # non-TPU smoke run
+        row = details["rows"][0]
+        print(json.dumps({
+            "metric": "smoke_fused_ms_cpu",
+            "value": row["ms"],
+            "unit": "ms",
+            "vs_baseline": 0.0,
+        }))
+        return
+
+    print(json.dumps({
+        "metric": "ds11_knn_16x1024x1M_fused_1chip_ms",
+        "value": round(headline_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(headline_base / headline_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

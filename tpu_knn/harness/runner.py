@@ -1,0 +1,145 @@
+"""The test/bench harness — the reference main()/test() analog, as a CLI.
+
+Reproduces the reference harness flow (sources/src/main.cu:55-179):
+for each requested version, re-seed, generate each dataset from the
+sequential glibc-compatible stream, time the callback end-to-end, and
+diff-check against the first version run (the baseline) with the ±1e-3
+true-distance tolerance. Output lines mirror the reference format
+
+    Callback<t>, <k>, <m>, <n>, <ms>
+    errors/total w.r.t. baseline: <e>/<m>
+
+and artifacts mirror the committed evidence files: --screen-log writes the
+transcript, --results-csv writes the golden-output format (odd lines argmin
+indices, even lines true distances, results.csv:1-16).
+
+A warm-up pass (reference WarmUP static, core.cu:1192-1229) pre-compiles
+and pre-touches the device before anything is timed.
+
+Usage:
+    python -m tpu_knn.harness.runner --versions v0,v1,v4,v8 --shapes ta
+    python -m tpu_knn.harness.runner --versions v4 --shapes big --no-check
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from tpu_knn.harness.checker import check_results, true_distance
+from tpu_knn.harness.generator import (
+    BIG_SHAPES, DEFAULT_SEED, TA_SHAPES, SampleStream, random_sample,
+)
+from tpu_knn.harness.timing import wall_ms
+
+
+def warm_up(versions):
+    """Run every requested version once on a small problem so compiles and
+    device cold-start are absorbed before timing (core.cu:1192-1229)."""
+    import tpu_knn
+
+    rng = np.random.default_rng(0)
+    q = rng.random((1, 4), np.float32)
+    r = rng.random((1 << 12, 4), np.float32)
+    for v in versions:
+        try:
+            tpu_knn.knn_callback(4, 1, 1 << 12, q, r, version=v)
+        except Exception as e:
+            print(f"warm-up {v} failed: {e}", file=sys.stderr)
+
+
+def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
+        collect_golden=False, device_data=False):
+    """Run the harness; returns (all_pass, golden_lines)."""
+    import tpu_knn
+
+    baseline = {}
+    golden_lines = []
+    all_pass = True
+    for t, version in enumerate(versions, start=1):
+        log(f"\non running {version}...")
+        stream = SampleStream(seed)
+        key = None
+        if device_data:
+            import jax
+
+            key = jax.random.PRNGKey(seed)
+        for i, (k, m, n) in enumerate(shapes):
+            if device_data:
+                import jax
+
+                q_dev, r_dev = random_sample(jax.random.fold_in(key, i), k, m, n)
+                search, ref = np.asarray(q_dev), np.asarray(r_dev)
+            else:
+                search, ref = stream.get_sample(k, m, n)
+            out = {}
+            with wall_ms(out):
+                results = tpu_knn.knn_callback(k, m, n, search, ref,
+                                               version=version)
+            log(f"Callback{t}, {k:2d}, {m:4d}, {n:5d}, {out['ms']:10.3f}ms")
+
+            if i not in baseline:
+                baseline[i] = results
+                if collect_golden:
+                    d = true_distance(search, ref, np.arange(m), results)
+                    golden_lines.append(",".join(str(int(x)) for x in results) + ",")
+                    golden_lines.append(",".join("%.3f" % float(x) for x in d) + ",")
+            elif check:
+                errors, total = check_results(baseline[i], results, search, ref)
+                log(f"errors/total w.r.t. baseline: {errors}/{total}\n")
+                if errors:
+                    all_pass = False
+    return all_pass, golden_lines
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--versions", default="v0,v1,v2,v3,v4,v6,v7,v8,v9,v10",
+                    help="comma-separated version list; first is the baseline")
+    ap.add_argument("--shapes", default="ta", choices=["ta", "big", "both"],
+                    help="ta = the 8 reference datasets; big = the 4 large "
+                         "custom shapes (device-generated data)")
+    ap.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--screen-log", metavar="PATH",
+                    help="also write the transcript here")
+    ap.add_argument("--results-csv", metavar="PATH",
+                    help="write baseline outputs in results.csv format")
+    args = ap.parse_args(argv)
+
+    versions = [v.strip() for v in args.versions.split(",") if v.strip()]
+    if args.shapes == "ta":
+        shapes, device_data = list(TA_SHAPES), False
+    elif args.shapes == "big":
+        shapes, device_data = list(BIG_SHAPES), True
+    else:
+        shapes, device_data = list(TA_SHAPES) + list(BIG_SHAPES), False
+
+    lines = []
+
+    def log(msg=""):
+        print(msg, flush=True)
+        lines.append(str(msg))
+
+    if not args.no_warmup:
+        warm_up(versions)
+
+    ok, golden = run(versions, shapes, seed=args.seed, check=not args.no_check,
+                     log=log, collect_golden=bool(args.results_csv),
+                     device_data=device_data)
+
+    if args.screen_log:
+        with open(args.screen_log, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    if args.results_csv:
+        with open(args.results_csv, "w") as f:
+            f.write("\n".join(golden) + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
