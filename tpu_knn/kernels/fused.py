@@ -117,6 +117,20 @@ def _score_tile(q_tile, r_tile, *, soa: bool, precision: str):
     return r_norm - 2.0 * _qr_dot(q_tile, r_tile, precision)
 
 
+def _fold_scores(s, base_col, cur_s, cur_i):
+    """Fold a (tile_m, tile_n) score tile into the per-lane running
+    (score, index) pair with pure elementwise VPU ops. Strict `<` keeps the
+    earliest (lowest) n per lane slot."""
+    tile_m, tile_n = s.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
+    for c in range(tile_n // 128):
+        sc = s[:, c * 128:(c + 1) * 128]
+        better = sc < cur_s
+        cur_i = jnp.where(better, lane + (base_col + c * 128), cur_i)
+        cur_s = jnp.minimum(cur_s, sc)
+    return cur_s, cur_i
+
+
 def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
                   n: int, tile_n: int, n_tiles: int, soa: bool,
                   precision: str):
@@ -144,14 +158,7 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
         s = jnp.where(col < n, s, jnp.inf)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
-    cur_s = best_s[:]
-    cur_i = best_i[:]
-    for c in range(tile_n // 128):
-        sc = s[:, c * 128:(c + 1) * 128]
-        better = sc < cur_s  # strict: earliest n wins per lane slot
-        cur_i = jnp.where(better, lane + (j * tile_n + c * 128), cur_i)
-        cur_s = jnp.minimum(cur_s, sc)
+    cur_s, cur_i = _fold_scores(s, j * tile_n, best_s[:], best_i[:])
     best_s[:] = cur_s
     best_i[:] = cur_i
 
