@@ -21,6 +21,27 @@ def test_fused_matches_oracle(soa):
     np.testing.assert_allclose(np.asarray(score), d2, rtol=1e-6)
 
 
+def test_fused_norm_augmented_path():
+    """The optional fused-norm variant (‖r‖² folded into the matmul via an
+    augmented row, running-max fold) must match the oracle, including with
+    the v7/v8 1e30 padding convention (whose inf norm produces NaN scores
+    through the bf16 split — the fold must not propagate them)."""
+    from tpu_knn.kernels.fused import _build_fused_candidates, _refine
+    import jax
+
+    rng = np.random.default_rng(9)
+    q = rng.random((10, 5), np.float32)
+    r = np.concatenate(
+        [rng.random((900, 5), np.float32),
+         np.full((124, 5), 1e30, np.float32)], axis=0)
+    n_real = 900
+    cand_fn = _build_fused_candidates(10, 1024, 5, 16, 256, True,
+                                      fuse_norm=True)
+    cand = jax.jit(cand_fn)(q, r)
+    idx, d2 = _refine(q, r, cand, n_real)
+    np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, r[:n_real]))
+
+
 def test_fused_multi_tile_m_and_n():
     rng = np.random.default_rng(1)
     q = rng.random((20, 3), np.float32)

@@ -1,0 +1,57 @@
+"""NNIndex serving API: prepare once, query many, across strategies."""
+
+import numpy as np
+import pytest
+
+from tpu_knn.engine.index import NNIndex
+from tpu_knn.oracle import oracle_callback
+
+
+def oracle(search, ref):
+    m, k = search.shape
+    return oracle_callback(k, m, ref.shape[0], search, ref)
+
+
+@pytest.mark.parametrize("strategy", ["fused", "kdtree", "sharded"])
+def test_strategies_match_oracle(strategy):
+    rng = np.random.default_rng(0)
+    ref = rng.random((20_000, 6), np.float32)
+    index = NNIndex(ref, strategy=strategy)
+    for m in (1, 7, 64):
+        q = rng.random((m, 6), np.float32)
+        idx, d2 = index.query(q)
+        np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+        np.testing.assert_allclose(
+            np.asarray(d2), np.sum((q - ref[np.asarray(idx)]) ** 2, axis=1),
+            rtol=1e-6)
+
+
+def test_fused_index_reuses_prepared_layout():
+    rng = np.random.default_rng(1)
+    ref = rng.random((5_000, 3), np.float32)
+    index = NNIndex(ref, strategy="fused")
+    q1 = rng.random((4, 3), np.float32)
+    q2 = rng.random((4, 3), np.float32)
+    i1, _ = index.query(q1)
+    i2, _ = index.query(q2)
+    np.testing.assert_array_equal(np.asarray(i1), oracle(q1, ref))
+    np.testing.assert_array_equal(np.asarray(i2), oracle(q2, ref))
+
+
+def test_kdtree_index_high_k_uses_cpu_query():
+    rng = np.random.default_rng(2)
+    ref = rng.random((3_000, 12), np.float32)  # k=12 > 8 -> CPU query
+    index = NNIndex(ref, strategy="kdtree")
+    assert index.dev_tree is None
+    q = rng.random((20, 12), np.float32)
+    idx, _ = index.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_ragged_n_fused_index():
+    rng = np.random.default_rng(3)
+    ref = rng.random((4_099, 5), np.float32)
+    index = NNIndex(ref, strategy="fused")
+    q = rng.random((9, 5), np.float32)
+    idx, _ = index.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))

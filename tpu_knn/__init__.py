@@ -27,11 +27,21 @@ Public API:
 from tpu_knn.api import nearest_neighbors, knn_callback
 from tpu_knn.engine.registry import get_version, list_versions, register_version
 
+
+def NNIndex(*args, **kwargs):
+    """Build-once / query-many serving index (lazy import; see
+    tpu_knn.engine.index.NNIndex)."""
+    from tpu_knn.engine.index import NNIndex as _NNIndex
+
+    return _NNIndex(*args, **kwargs)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
     "nearest_neighbors",
     "knn_callback",
+    "NNIndex",
     "get_version",
     "list_versions",
     "register_version",

@@ -95,7 +95,7 @@ def _build_dma(m: int, n: int, k: int, tile_m: int, tile_n: int,
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -105,35 +105,47 @@ def _qr_dot(q_tile, r_tile, precision: str):
     )
 
 
-def _score_tile(q_tile, r_tile, *, soa: bool, precision: str):
-    """Scores ‖r‖²−2q·r for one tile.
+def _score_tile(q_tile, r_tile, *, soa: bool, precision: str,
+                fuse_norm: bool = False):
+    """Scores for one tile.
+
+    fuse_norm=False: the norm-trick form ‖r‖²−2q·r (lower = nearer).
+    fuse_norm=True: the operands arrive augmented — r carries an extra row
+    holding ‖r‖² and q an extra -0.5 column — so the MXU computes
+    s' = q·r − ‖r‖²/2 = −(‖r‖²−2q·r)/2 in the same passes (the padded
+    contraction makes the extra row free) and HIGHER is nearer; the norm
+    subtraction disappears from the VPU hot loop entirely.
 
     soa: r_tile is (kp, tile_n); aos: r_tile is (tile_n, kp) and pays an
     on-chip transpose (the v3-vs-v4 distinction, README.md:105-111).
     """
     if not soa:
         r_tile = r_tile.T
+    if fuse_norm:
+        return _qr_dot(q_tile, r_tile, precision)
     r_norm = jnp.sum(r_tile * r_tile, axis=0, keepdims=True)  # (1, tile_n)
     return r_norm - 2.0 * _qr_dot(q_tile, r_tile, precision)
 
 
-def _fold_scores(s, base_col, cur_s, cur_i):
+def _fold_scores(s, base_col, cur_s, cur_i, maximize: bool = False):
     """Fold a (tile_m, tile_n) score tile into the per-lane running
-    (score, index) pair with pure elementwise VPU ops. Strict `<` keeps the
-    earliest (lowest) n per lane slot."""
+    (score, index) pair with pure elementwise VPU ops. Strict compare keeps
+    the earliest (lowest) n per lane slot."""
     tile_m, tile_n = s.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
     for c in range(tile_n // 128):
         sc = s[:, c * 128:(c + 1) * 128]
-        better = sc < cur_s
+        better = sc > cur_s if maximize else sc < cur_s
         cur_i = jnp.where(better, lane + (base_col + c * 128), cur_i)
-        cur_s = jnp.minimum(cur_s, sc)
+        # where (not minimum/maximum): padded rows can score NaN through
+        # the bf16 split of an inf norm, and min/max would propagate it.
+        cur_s = jnp.where(better, sc, cur_s)
     return cur_s, cur_i
 
 
 def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
                   n: int, tile_n: int, n_tiles: int, soa: bool,
-                  precision: str):
+                  precision: str, fuse_norm: bool = False):
     """Grid (m_tiles, n_tiles), n innermost; scratch carries the per-lane
     running (score, index) across the n sweep.
 
@@ -146,19 +158,22 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
     (core.cu:44-49)."""
     j = pl.program_id(1)
     ragged = n_tiles * tile_n != n
+    worst = -jnp.inf if fuse_norm else jnp.inf
 
     @pl.when(j == 0)
     def _():
-        best_s[:] = jnp.full_like(best_s, jnp.inf)
+        best_s[:] = jnp.full_like(best_s, worst)
         best_i[:] = jnp.full_like(best_i, _I32_MAX)
 
-    s = _score_tile(q_ref[:], r_ref[:], soa=soa, precision=precision)
+    s = _score_tile(q_ref[:], r_ref[:], soa=soa, precision=precision,
+                    fuse_norm=fuse_norm)
     tile_m = s.shape[0]
     if ragged:
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
-        s = jnp.where(col < n, s, jnp.inf)
+        s = jnp.where(col < n, s, worst)
 
-    cur_s, cur_i = _fold_scores(s, j * tile_n, best_s[:], best_i[:])
+    cur_s, cur_i = _fold_scores(s, j * tile_n, best_s[:], best_i[:],
+                                maximize=fuse_norm)
     best_s[:] = cur_s
     best_i[:] = cur_i
 
@@ -170,22 +185,28 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
 @functools.lru_cache(maxsize=None)
 def _build_fused_candidates(m: int, n: int, k: int,
                             tile_m: int, tile_n: int, soa: bool,
-                            precision: str = DEFAULT_PRECISION):
+                            precision: str = DEFAULT_PRECISION,
+                            fuse_norm: bool = False):
+    # fuse_norm measured slower on v5e (k_pad 16->24 costs an extra
+    # ceil(k/8) contraction group per MXU pass; tile_n=1024 additionally
+    # hits a pathological Mosaic path) — kept as an option, off by default.
     """Build the candidate stage: (search (m,k), ref (n,k)) -> (m, 128)
     per-lane candidate indices. Traceable (jit/vmap-able); v7 vmaps it over
     n-partitions and v8 runs it per mesh shard."""
+    fuse_norm = fuse_norm and soa
     # SoA blocks put k on sublanes (pad to 8); AoS blocks put k on lanes,
     # where padding k would force XLA to materialize an 8-16x padded copy
     # of the whole reference array (observed HBM OOM at n=2^24, k=3) — the
     # MXU pads the contraction internally instead.
-    k_pad = round_up(k, 8) if soa else k
+    k_aug = k + 1 if fuse_norm else k  # extra row carries ‖r‖²
+    k_pad = round_up(k_aug, 8) if soa else k
     m_pad = round_up(m, tile_m)
     n_pad = round_up(n, tile_n)
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
     kernel = functools.partial(
         _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles, soa=soa,
-        precision=precision,
+        precision=precision, fuse_norm=fuse_norm,
     )
     if soa:
         r_spec = pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
@@ -218,8 +239,18 @@ def _build_fused_candidates(m: int, n: int, k: int,
     )
 
     def candidates(search, ref):
-        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
-        r = jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k)))
+        if fuse_norm:
+            # Augment: r gains a ‖r‖² row, q a matching -0.5 column, so the
+            # MXU computes q·r − ‖r‖²/2 in the same (contraction-padded)
+            # passes and the kernel's fold is a pure running max.
+            r_norm = jnp.sum(ref * ref, axis=1, keepdims=True)
+            ref_aug = jnp.concatenate([ref, r_norm], axis=1)
+            q_col = jnp.full((search.shape[0], 1), -0.5, search.dtype)
+            search_aug = jnp.concatenate([search, q_col], axis=1)
+        else:
+            ref_aug, search_aug = ref, search
+        q = jnp.pad(search_aug, ((0, m_pad - m), (0, k_pad - k_aug)))
+        r = jnp.pad(ref_aug, ((0, n_pad - n), (0, k_pad - k_aug)))
         if soa:
             # v4's mat_inv analog: one XLA transpose into (k, n) so n rides
             # the lanes (reference core.cu:315-330; README.md:105-111).
