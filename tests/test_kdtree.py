@@ -120,3 +120,17 @@ def test_v10_ta_shape():
     d_or = np.sum((q - ref[want]) ** 2, axis=1)
     d_got = np.sum((q - ref[got]) ** 2, axis=1)
     np.testing.assert_allclose(d_got, d_or, rtol=1e-6, atol=0)
+
+
+def test_kdtree_save_load(tmp_path):
+    rng = np.random.default_rng(6)
+    ref = rng.random((512, 4), np.float32)
+    tree = build_kdtree(ref)
+    path = str(tmp_path / "tree.npz")
+    tree.save(path)
+    loaded = KDTree.load(path)
+    np.testing.assert_array_equal(loaded.p, tree.p)
+    np.testing.assert_array_equal(loaded.dim, tree.dim)
+    q = rng.random((10, 4), np.float32)
+    idx, _ = DeviceKDTree(loaded).query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))

@@ -36,6 +36,19 @@ class KDTree:
     def k(self) -> int:
         return self.ref.shape[1]
 
+    def save(self, path: str) -> None:
+        """Serialize the built index (the engine's checkpoint/resume story:
+        the reference has none — SURVEY.md §5 — because it rebuilds per
+        call; a serving system persists the build artifact)."""
+        np.savez_compressed(path, ref=self.ref, p=self.p, dim=self.dim,
+                            split_val=self.split_val)
+
+    @classmethod
+    def load(cls, path: str) -> "KDTree":
+        with np.load(path) as z:
+            return cls(ref=z["ref"], p=z["p"], dim=z["dim"],
+                       split_val=z["split_val"])
+
 
 def _build_numpy(ref: np.ndarray):
     n, k = ref.shape
