@@ -51,8 +51,15 @@ def warm_up(versions):
 
 
 def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
-        collect_golden=False, device_data=False):
-    """Run the harness; returns (all_pass, golden_lines)."""
+        collect_golden=False, device_data=False, warm_shapes=True):
+    """Run the harness; returns (all_pass, golden_lines).
+
+    warm_shapes: call each (version, shape) once untimed before the timed
+    call. XLA recompiles per shape, so per-shape compile is this engine's
+    cold start; absorbing it is the honest analog of the reference's
+    WarmUP static (core.cu:1192-1229), which exists to keep one-time setup
+    out of the timings. Disable with --cold for cold-start numbers.
+    """
     import tpu_knn
 
     baseline = {}
@@ -74,6 +81,8 @@ def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
                 search, ref = np.asarray(q_dev), np.asarray(r_dev)
             else:
                 search, ref = stream.get_sample(k, m, n)
+            if warm_shapes:
+                tpu_knn.knn_callback(k, m, n, search, ref, version=version)
             out = {}
             with wall_ms(out):
                 results = tpu_knn.knn_callback(k, m, n, search, ref,
@@ -105,6 +114,8 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=DEFAULT_SEED)
     ap.add_argument("--no-check", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--cold", action="store_true",
+                    help="time first calls (include per-shape compiles)")
     ap.add_argument("--screen-log", metavar="PATH",
                     help="also write the transcript here")
     ap.add_argument("--results-csv", metavar="PATH",
@@ -130,7 +141,7 @@ def main(argv=None):
 
     ok, golden = run(versions, shapes, seed=args.seed, check=not args.no_check,
                      log=log, collect_golden=bool(args.results_csv),
-                     device_data=device_data)
+                     device_data=device_data, warm_shapes=not args.cold)
 
     if args.screen_log:
         with open(args.screen_log, "w") as f:

@@ -313,7 +313,7 @@ def fused_knn(search, ref, *, soa: bool = True,
     m, k = search.shape
     n = ref.shape[0]
     if tile_m is None or tile_n is None:
-        tm, tn = pick_tiles(k, m, n)
+        tm, tn = pick_tiles(k, m, n, tile_m=tile_m)
         tile_m = tile_m or tm
         tile_n = tile_n or tn
     run = _build_fused(m, n, k, tile_m, tile_n, soa, precision)

@@ -2,9 +2,15 @@
 
 The reference picks launch geometry with hard-coded 32x32 tiles plus the
 CUDA occupancy API (core.cu:736-740). On TPU the analogous knobs are the
-Pallas block shapes; this table is the "occupancy" analog: static heuristics
-shaped by VMEM capacity (~16 MB/core) and MXU/VPU tile granularity, refined
-against measurements on v5e (see bench history in BENCH_DETAILS.json).
+Pallas block shapes; this table is the "occupancy" analog, set from a
+measured sweep on v5e (2026-08-16, BENCH_DETAILS.json history):
+
+- score-tile elements capped at 2^20 (4 MB f32): 512x2048 compiles and is
+  fastest for m=1024 (6.24 ms at ds11); 1024x2048 and 512x4096 exceed the
+  ~16 MB scoped-VMEM limit once double-buffered r tiles and bf16 split
+  temporaries are added.
+- bandwidth-bound small-m streams want the widest tiles: m=1 at n=2^24
+  measured 3.9 ms (tile_n 4096) -> 3.3 (8192) -> 3.1 (16384).
 """
 
 from __future__ import annotations
@@ -15,23 +21,18 @@ from tpu_knn.utils.shapes import round_up
 SUBLANE = 8
 LANE = 128
 
+#: Max score-tile elements (tile_m * tile_n); 4 MB f32 measured safe.
+SCORE_TILE_BUDGET = 1 << 20
 
-def pick_tiles(k: int, m: int, n: int) -> tuple[int, int]:
-    """Return (tile_m, tile_n) for the fused kernel.
+#: Widest useful n tile (bandwidth-bound streaming).
+MAX_TILE_N = 16384
 
-    tile_m: cover all queries up to 256 rows per tile (the score tile
-    tile_m*tile_n*4B must stay well under VMEM).
-    tile_n: large tiles amortize DMA and grid overhead; bandwidth-bound
-    small-m cases get wider n tiles.
-    """
-    tile_m = min(256, round_up(m, SUBLANE))
-    if m <= 8:
-        # Bandwidth-bound streaming: wide tiles, tiny score matrix.
-        tile_n = 4096
-    elif m <= 64:
-        tile_n = 2048
-    else:
-        # Compute-bound: 256x1024 f32 score tile = 1 MB in VMEM.
-        tile_n = 1024
+
+def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None) -> tuple[int, int]:
+    """Return (tile_m, tile_n) for the fused kernel."""
+    if tile_m is None:
+        tile_m = min(512, round_up(m, SUBLANE))
+    tile_n = min(MAX_TILE_N, SCORE_TILE_BUDGET // tile_m)
     tile_n = min(tile_n, round_up(n, LANE))
+    tile_n = max(LANE, (tile_n // LANE) * LANE)
     return tile_m, tile_n
