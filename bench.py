@@ -62,8 +62,10 @@ def main():
 
     headline_ms = None
     headline_base = None
-    for (name, k, m, n, base_ms, base_hw) in shapes:
-        kq = jax.random.fold_in(key, hash(name) % (2**31))
+    for shape_id, (name, k, m, n, base_ms, base_hw) in enumerate(shapes):
+        # fold_in by position, not hash(name): str hash is randomized per
+        # process, which would make bench data irreproducible run-to-run.
+        kq = jax.random.fold_in(key, shape_id)
         q = jax.random.uniform(jax.random.fold_in(kq, 1), (m, k), jnp.float32)
         r = jax.random.uniform(jax.random.fold_in(kq, 2), (n, k), jnp.float32)
         q.block_until_ready()

@@ -30,7 +30,7 @@ def test_reseed_resets_stream():
 
 
 @pytest.mark.skipif(shutil.which("gcc") is None, reason="no C compiler")
-@pytest.mark.parametrize("seed", [1, 1000, 123456789])
+@pytest.mark.parametrize("seed", [1, 1000, 123456789, 0, -5, 2**31 + 7, 2**32 - 1])
 def test_differential_vs_system_glibc(seed):
     """Differentially validate against the actual libc on this machine."""
     src = (

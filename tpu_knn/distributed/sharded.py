@@ -54,12 +54,17 @@ def default_mesh(dp: int = 1, sp: int | None = None) -> Mesh:
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
-                   method: str = "pmin"):
+                   method: str = "pmin", tile_n: int | None = None,
+                   prepadded: bool = False):
+    """prepadded: the reference array arrives already padded to
+    (sp * n_local, k) with PAD_VALUE and sharded over "sp" (NNIndex's
+    prepared path) — no per-call host pad/reshard."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     m_pad = round_up(m, dp * 8)
     m_local = m_pad // dp
-    tile_m, tile_n = pick_tiles(k, m_local, cdiv(n, sp))
+    tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, sp))
+    tile_n = tile_n or auto_tile_n
     n_local = round_up(cdiv(n, sp), tile_n)
     n_pad = n_local * sp
     candidates = _build_fused_candidates(m_local, n_local, k,
@@ -85,11 +90,23 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
     @jax.jit
     def run(search, ref):
         q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
-        r = jnp.pad(ref, ((0, n_pad - n), (0, 0)), constant_values=PAD_VALUE)
-        idx, d2 = mapped(q, r)
+        if not prepadded:
+            ref = jnp.pad(ref, ((0, n_pad - n), (0, 0)),
+                          constant_values=PAD_VALUE)
+        idx, d2 = mapped(q, ref)
         return idx[:m], d2[:m]
 
     return run
+
+
+def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
+    """The (tile_n, n_local, n_pad) a prepared reference array must use to
+    enter _build_sharded(prepadded=True)."""
+    sp = mesh.shape["sp"]
+    _, tile_n = pick_tiles(k, round_up(m_hint, mesh.shape["dp"] * 8) // mesh.shape["dp"],
+                           cdiv(n, sp))
+    n_local = round_up(cdiv(n, sp), tile_n)
+    return tile_n, n_local, n_local * sp
 
 
 def sharded_knn(search, ref, *, mesh: Mesh | None = None,

@@ -39,45 +39,17 @@ from tpu_knn.utils.shapes import round_up
 @functools.lru_cache(maxsize=None)
 def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
                           precision: str = DEFAULT_PRECISION):
-    """Query pipeline against a prepared (k_pad, n_pad) SoA array."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from tpu_knn.kernels.fused import _fused_kernel
-    from tpu_knn.utils.platform import interpret_mode
-
-    k_pad = round_up(k, 8)
-    m_pad = round_up(m, tile_m)
-    n_pad = round_up(n, tile_n)
-    kernel = functools.partial(
-        _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_pad // tile_n,
-        soa=True, precision=precision,
-    )
-    call = pl.pallas_call(
-        kernel,
-        grid=(m_pad // tile_m, n_pad // tile_n),
-        in_specs=[
-            pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_m, 128), jnp.float32),
-            pltpu.VMEM((tile_m, 128), jnp.int32),
-        ],
-        interpret=interpret_mode(),
-    )
-
+    """Query pipeline against a prepared (k_pad, n_pad) SoA array — the
+    same candidate kernel as v4 (prepadded_soa skips pad+transpose)."""
     from tpu_knn.kernels.fused import _refine
+
+    candidates = _build_fused_candidates(m, n, k, tile_m, tile_n, soa=True,
+                                         precision=precision,
+                                         prepadded_soa=True)
 
     @jax.jit
     def run(search, r_soa, ref_aos):
-        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
-        cand = call(q, r_soa)[:m]
+        cand = candidates(search, r_soa)
         # Exact refinement gathers rows from the AoS copy: a lane-axis
         # gather from the SoA array is strided and measured ~2.7 ms slower
         # at m=1024 than the row gather.
@@ -113,11 +85,18 @@ class NNIndex:
         elif strategy == "sharded":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from tpu_knn.distributed.sharded import default_mesh
+            from tpu_knn.distributed.sharded import (
+                PAD_VALUE, default_mesh, sharded_layout,
+            )
 
             self.mesh = mesh if mesh is not None else default_mesh()
-            self.ref = ref  # host copy; shard lazily per padded size
-            self._sharded_cache = {}
+            # Pre-shard ONCE: pad to the shard layout and device_put with
+            # the sp sharding, so queries never re-pad or re-transfer refs.
+            self.tile_n, _, n_pad = sharded_layout(self.n, self.k, self.mesh)
+            padded = np.full((n_pad, self.k), PAD_VALUE, np.float32)
+            padded[: self.n] = ref
+            self.r_sharded = jax.device_put(
+                padded, NamedSharding(self.mesh, P("sp", None)))
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -135,10 +114,19 @@ class NNIndex:
                 return self.dev_tree.query(search)
             from tpu_knn import native
 
-            idx, d2 = native.kdtree_query(
-                np.asarray(search), self.ref, self.tree.p, self.tree.dim)
-            return jnp.asarray(idx), jnp.asarray(d2)
-        # sharded
-        from tpu_knn.distributed.sharded import sharded_knn
+            if native.available():
+                idx, d2 = native.kdtree_query(
+                    np.asarray(search), self.ref, self.tree.p, self.tree.dim)
+            else:
+                from tpu_knn.kdtree.build import query_numpy
 
-        return sharded_knn(search, self.ref, mesh=self.mesh)
+                idx, d2 = query_numpy(self.tree, np.asarray(search))
+            return jnp.asarray(idx), jnp.asarray(d2)
+        # sharded: refs already padded + device-resident with the sp
+        # sharding; the jitted pipeline sees a matching input and inserts
+        # no transfers.
+        from tpu_knn.distributed.sharded import _build_sharded
+
+        run = _build_sharded(m, self.n, self.k, self.mesh,
+                             tile_n=self.tile_n, prepadded=True)
+        return run(search, self.r_sharded)

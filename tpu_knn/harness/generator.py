@@ -61,10 +61,24 @@ class GlibcRand:
         self.seed(seed)
 
     def seed(self, seed: int) -> None:
+        # glibc __srandom_r: the seed is taken as unsigned, 0 becomes 1,
+        # and state expansion is Schrage's method on the *int32 view* of
+        # the seed (C truncated division — for negative words this is NOT
+        # a plain mod, so replicate it exactly).
+        s = seed & 0xFFFFFFFF
+        if s == 0:
+            s = 1
+        word = s - (1 << 32) if s >= (1 << 31) else s
         r: List[int] = [0] * 34
-        r[0] = seed & 0xFFFFFFFF
+        r[0] = word
         for i in range(1, 31):
-            r[i] = (16807 * r[i - 1]) % 2147483647
+            hi, lo = divmod(abs(word), 127773)
+            if word < 0:
+                hi, lo = -hi, -lo
+            word = 16807 * lo - 2836 * hi
+            if word < 0:
+                word += 2147483647
+            r[i] = word
         for i in range(31, 34):
             r[i] = r[i - 31]
         # Circular buffer over the last 31 values; position i of the global

@@ -106,7 +106,7 @@ def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--versions", default="v0,v1,v2,v3,v4,v6,v7,v8,v9,v10",
+    ap.add_argument("--versions", default="v0,v1,v2,v3,v4,v5,v6,v7,v8,v9,v10",
                     help="comma-separated version list; first is the baseline")
     ap.add_argument("--shapes", default="ta", choices=["ta", "big", "both"],
                     help="ta = the 8 reference datasets; big = the 4 large "
@@ -123,12 +123,15 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     versions = [v.strip() for v in args.versions.split(",") if v.strip()]
-    if args.shapes == "ta":
-        shapes, device_data = list(TA_SHAPES), False
-    elif args.shapes == "big":
-        shapes, device_data = list(BIG_SHAPES), True
-    else:
-        shapes, device_data = list(TA_SHAPES) + list(BIG_SHAPES), False
+    # TA datasets use the glibc-parity host stream (golden reproducibility);
+    # big shapes always use jax.random on device — drawing 2^24-point sets
+    # through the host stream would be pointless and absurdly slow
+    # (generator.py: the reference itself switches generators there).
+    phases = []
+    if args.shapes in ("ta", "both"):
+        phases.append((list(TA_SHAPES), False))
+    if args.shapes in ("big", "both"):
+        phases.append((list(BIG_SHAPES), True))
 
     lines = []
 
@@ -139,9 +142,15 @@ def main(argv=None):
     if not args.no_warmup:
         warm_up(versions)
 
-    ok, golden = run(versions, shapes, seed=args.seed, check=not args.no_check,
-                     log=log, collect_golden=bool(args.results_csv),
-                     device_data=device_data, warm_shapes=not args.cold)
+    ok = True
+    golden = []
+    for shapes, device_data in phases:
+        phase_ok, phase_golden = run(
+            versions, shapes, seed=args.seed, check=not args.no_check,
+            log=log, collect_golden=bool(args.results_csv) and not device_data,
+            device_data=device_data, warm_shapes=not args.cold)
+        ok = ok and phase_ok
+        golden.extend(phase_golden)
 
     if args.screen_log:
         with open(args.screen_log, "w") as f:

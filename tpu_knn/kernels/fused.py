@@ -186,13 +186,29 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
 def _build_fused_candidates(m: int, n: int, k: int,
                             tile_m: int, tile_n: int, soa: bool,
                             precision: str = DEFAULT_PRECISION,
-                            fuse_norm: bool = False):
+                            fuse_norm: bool = False,
+                            prepadded_soa: bool = False):
     # fuse_norm measured slower on v5e (k_pad 16->24 costs an extra
     # ceil(k/8) contraction group per MXU pass; tile_n=1024 additionally
     # hits a pathological Mosaic path) — kept as an option, off by default.
     """Build the candidate stage: (search (m,k), ref (n,k)) -> (m, 128)
     per-lane candidate indices. Traceable (jit/vmap-able); v7 vmaps it over
-    n-partitions and v8 runs it per mesh shard."""
+    n-partitions and v8 runs it per mesh shard.
+
+    prepadded_soa: the reference operand arrives already in the padded
+    (k_pad, n_pad) SoA layout (NNIndex's prepared path) — skip the per-call
+    pad+transpose."""
+    if prepadded_soa and (not soa or fuse_norm):
+        raise ValueError("prepadded_soa requires soa=True, fuse_norm=False")
+    if tile_n % 128 != 0 or tile_n <= 0:
+        raise ValueError(
+            f"tile_n must be a positive multiple of 128 (lane width), got "
+            f"{tile_n}: the per-lane fold would silently drop the remainder"
+        )
+    if tile_m % 8 != 0 or tile_m <= 0:
+        raise ValueError(
+            f"tile_m must be a positive multiple of 8 (f32 sublanes), got {tile_m}"
+        )
     fuse_norm = fuse_norm and soa
     # SoA blocks put k on sublanes (pad to 8); AoS blocks put k on lanes,
     # where padding k would force XLA to materialize an 8-16x padded copy
@@ -239,6 +255,9 @@ def _build_fused_candidates(m: int, n: int, k: int,
     )
 
     def candidates(search, ref):
+        if prepadded_soa:
+            q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
+            return call(q, ref)[:m]
         if fuse_norm:
             # Augment: r gains a ‖r‖² row, q a matching -0.5 column, so the
             # MXU computes q·r − ‖r‖²/2 in the same (contraction-padded)
@@ -334,6 +353,12 @@ def v4_callback(k, m, n, search, ref):
     return _to_host(idx)
 
 
+#: v6 covers all of m in one tile; beyond this the (tile_m, 128) running
+#: pair + output blocks would blow VMEM, so the guard delegates to v4
+#: (like the reference's k*m<=16384 constant-memory guard, core.cu:603-607).
+V6_MAX_TILE_M = 2048
+
+
 def v6_callback(k, m, n, search, ref):
     # Whole query set resident per n-sweep is what the (i, 0) index map
     # already achieves per tile; v6's distinct capability is covering all
@@ -360,6 +385,9 @@ register_version(
     v6_callback,
     "fused kernel with the whole query set VMEM-resident for the n sweep "
     "(reference v6 constant-memory broadcast, core.cu:530-643)",
-    guard=lambda k, m, n: round_up(m, 8) * round_up(k, 8) * 4 <= V6_QUERY_VMEM_BYTES,
+    guard=lambda k, m, n: (
+        round_up(m, 8) * round_up(k, 8) * 4 <= V6_QUERY_VMEM_BYTES
+        and round_up(m, 8) <= V6_MAX_TILE_M
+    ),
     fallback="v4",
 )

@@ -25,9 +25,23 @@ CXX = os.environ.get("CXX", "g++")
 CXXFLAGS = ["-O3", "-march=native", "-ffp-contract=off", "-fopenmp", "-shared", "-fPIC", "-std=c++17"]
 
 
+def _toolchain_id() -> bytes:
+    """Machine + compiler identity: -march=native binaries must never be
+    reused across hosts (a foreign ISA would SIGILL on first call)."""
+    import platform
+
+    try:
+        ver = subprocess.run([CXX, "-dumpfullversion"], capture_output=True,
+                             text=True).stdout.strip()
+    except OSError:
+        ver = "unknown"
+    return f"{platform.machine()}|{platform.node()}|{CXX}|{ver}".encode()
+
+
 def lib_path() -> str:
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read() + " ".join(CXXFLAGS).encode()).hexdigest()[:16]
+        payload = f.read() + " ".join(CXXFLAGS).encode() + _toolchain_id()
+    digest = hashlib.sha256(payload).hexdigest()[:16]
     return os.path.join(_CACHE_DIR, f"libtpuknn_{digest}.so")
 
 

@@ -38,12 +38,20 @@ struct TkRand {
 
 void* tk_rand_new(int32_t seed) {
   auto* st = new TkRand();
+  // glibc __srandom_r: seed is unsigned, 0 becomes 1, and the state is
+  // expanded with Schrage's method on the int32 view of the seed (exact
+  // C truncated-division semantics, matching harness/generator.py).
+  uint32_t us = (uint32_t)seed;
+  if (us == 0) us = 1;
   int32_t r[34];
-  r[0] = seed;
+  int64_t word = (int32_t)us;
+  r[0] = (int32_t)word;
   for (int i = 1; i < 31; i++) {
-    // r[i] = 16807 * r[i-1] mod 2^31-1 without 64-bit overflow issues.
-    int64_t v = 16807LL * r[i - 1] % 2147483647LL;
-    r[i] = (int32_t)v;
+    int64_t hi = word / 127773;
+    int64_t lo = word % 127773;
+    word = 16807 * lo - 2836 * hi;
+    if (word < 0) word += 2147483647;
+    r[i] = (int32_t)word;
   }
   for (int i = 31; i < 34; i++) r[i] = r[i - 31];
   for (int i = 3; i < 34; i++) st->buf[i % 31] = (uint32_t)r[i];
