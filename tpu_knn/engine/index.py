@@ -76,11 +76,19 @@ class NNIndex:
             self.r_soa = jnp.asarray(r)
             self.ref_dev = jnp.asarray(ref)  # AoS copy for exact refinement
         elif strategy == "kdtree":
+            from tpu_knn import native
             from tpu_knn.kdtree.build import build_kdtree
             from tpu_knn.kdtree.traversal import DeviceKDTree
 
             self.tree = build_kdtree(ref)
-            self.dev_tree = DeviceKDTree(self.tree) if self.k <= 8 else None
+            # Backend choice: the native CPU query wins by orders of
+            # magnitude (1.3 ms vs ~1.2 s at k=3, m=1024, n=65536) —
+            # pointer-chasing traversal is anti-TPU (docs/PERF_NOTES.md);
+            # the device path serves as fallback and capability demo.
+            self.use_native_query = native.available()
+            self.dev_tree = (DeviceKDTree(self.tree)
+                             if self.k <= 8 and not self.use_native_query
+                             else None)
             self.ref = ref
         elif strategy == "sharded":
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -101,9 +109,21 @@ class NNIndex:
             raise ValueError(f"unknown strategy {strategy!r}")
 
     def query(self, search):
-        """search (m, k) -> (idx (m,) i32, d2 (m,) f32) device arrays."""
-        search = jnp.asarray(search, jnp.float32)
+        """search (m, k) -> (idx (m,) i32, d2 (m,) f32) arrays (device
+        arrays for device strategies; host arrays from the CPU-native
+        KD-tree backend)."""
         m = search.shape[0]
+        if self.strategy == "kdtree" and self.use_native_query:
+            # CPU-native backend: keep everything on the host (a device
+            # round-trip of even tiny arrays costs ~10-30 ms on the dev
+            # tunnel).
+            from tpu_knn import native
+
+            idx, d2 = native.kdtree_query(
+                np.ascontiguousarray(search, np.float32), self.ref,
+                self.tree.p, self.tree.dim)
+            return idx, d2
+        search = jnp.asarray(search, jnp.float32)
         if self.strategy == "fused":
             tile_m, _ = pick_tiles(self.k, m, self.n)
             run = _build_prepared_query(m, self.n, self.k, tile_m,
@@ -112,16 +132,10 @@ class NNIndex:
         if self.strategy == "kdtree":
             if self.dev_tree is not None:
                 return self.dev_tree.query(search)
-            from tpu_knn import native
+            from tpu_knn.kdtree.build import query_numpy
 
-            if native.available():
-                idx, d2 = native.kdtree_query(
-                    np.asarray(search), self.ref, self.tree.p, self.tree.dim)
-            else:
-                from tpu_knn.kdtree.build import query_numpy
-
-                idx, d2 = query_numpy(self.tree, np.asarray(search))
-            return jnp.asarray(idx), jnp.asarray(d2)
+            idx, d2 = query_numpy(self.tree, np.asarray(search))
+            return idx, d2
         # sharded: refs already padded + device-resident with the sp
         # sharding; the jitted pipeline sees a matching input and inserts
         # no transfers.
