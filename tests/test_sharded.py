@@ -92,3 +92,40 @@ def test_v8_version_on_ta_like_shape():
     r = rng.random((1 << 19, 16), np.float32)
     got = tpu_knn.knn_callback(16, 32, 1 << 19, q, r, version="v8")
     np.testing.assert_array_equal(got, oracle(q, r))
+
+
+@pytest.mark.parametrize("dcn,dp,sp", [(2, 1, 4), (2, 2, 2), (4, 1, 2)])
+def test_multislice_mesh(dcn, dp, sp):
+    """Hierarchical reference sharding over (dcn, sp) with the two-stage
+    min-index allreduce (ICI within slice, DCN across slices)."""
+    from tpu_knn.distributed.sharded import multislice_mesh
+
+    rng = np.random.default_rng(5)
+    q = rng.random((32, 6), np.float32)
+    r = rng.random((16_000, 6), np.float32)
+    idx, d2 = sharded_knn(q, r, mesh=multislice_mesh(dcn=dcn, dp=dp, sp=sp))
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))
+
+
+def test_multislice_tie_across_slices():
+    from tpu_knn.distributed.sharded import multislice_mesh
+
+    q = np.zeros((1, 3), np.float32)
+    n = 8192
+    r = np.ones((n, 3), np.float32)
+    r[500] = 0.5    # slice 0
+    r[6000] = 0.5   # slice 1 — equal distance, higher global index
+    idx, _ = sharded_knn(q, r, mesh=multislice_mesh(dcn=2, dp=1, sp=4))
+    assert int(idx[0]) == 500
+
+
+def test_multislice_prepared_index():
+    from tpu_knn.distributed.sharded import multislice_mesh
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(6)
+    r = rng.random((10_000, 4), np.float32)
+    index = NNIndex(r, strategy="sharded", mesh=multislice_mesh(dcn=2, dp=1, sp=4))
+    q = rng.random((8, 4), np.float32)
+    idx, _ = index.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))

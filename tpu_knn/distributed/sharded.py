@@ -52,21 +52,44 @@ def default_mesh(dp: int = 1, sp: int | None = None) -> Mesh:
     return Mesh(devices[: dp * sp].reshape(dp, sp), ("dp", "sp"))
 
 
+def multislice_mesh(dcn: int, dp: int = 1, sp: int | None = None) -> Mesh:
+    """3-axis mesh ("dcn", "dp", "sp") for multi-slice deployments: the
+    reference set shards hierarchically over (dcn, sp) and the reduction
+    runs in two stages — min-index allreduce over "sp" rides ICI within a
+    slice, then over "dcn" across slices (SURVEY.md §5: "over ICI within a
+    slice, DCN across slices"). On single-slice hardware the axes are
+    logical; the driver's virtual-device mesh exercises the same program.
+    """
+    devices = np.array(jax.devices())
+    if sp is None:
+        sp = len(devices) // (dcn * dp)
+    return Mesh(devices[: dcn * dp * sp].reshape(dcn, dp, sp),
+                ("dcn", "dp", "sp"))
+
+
 @functools.lru_cache(maxsize=None)
 def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
                    method: str = "pmin", tile_n: int | None = None,
                    prepadded: bool = False):
     """prepadded: the reference array arrives already padded to
-    (sp * n_local, k) with PAD_VALUE and sharded over "sp" (NNIndex's
-    prepared path) — no per-call host pad/reshard."""
+    (num_shards * n_local, k) with PAD_VALUE and sharded over the
+    reference axes (NNIndex's prepared path) — no per-call host pad.
+
+    Meshes with a "dcn" axis shard the reference set hierarchically over
+    (dcn, sp) and reduce in two stages: "sp" first (ICI within a slice),
+    then "dcn" (across slices)."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
+    dcn = mesh.shape.get("dcn", 1)
+    has_dcn = "dcn" in mesh.shape
+    ref_axes = ("dcn", "sp") if has_dcn else ("sp",)
+    num_shards = dcn * sp
     m_pad = round_up(m, dp * 8)
     m_local = m_pad // dp
-    tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, sp))
+    tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, num_shards))
     tile_n = tile_n or auto_tile_n
-    n_local = round_up(cdiv(n, sp), tile_n)
-    n_pad = n_local * sp
+    n_local = round_up(cdiv(n, num_shards), tile_n)
+    n_pad = n_local * num_shards
     candidates = _build_fused_candidates(m_local, n_local, k,
                                          tile_m, tile_n, soa=True)
 
@@ -74,15 +97,22 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
         # q_local: (m_local, k); r_local: (n_local, k)
         cand = candidates(q_local, r_local)            # (m_local, 128) local idx
         idx, d2 = _refine(q_local, r_local, cand, n_local)
-        # Global index rebase, per query row (core.cu:931-933 done right).
-        gidx = idx + jax.lax.axis_index("sp").astype(jnp.int32) * n_local
+        # Global index rebase, per query row (core.cu:931-933 done right):
+        # shards are laid out [dcn-major, sp-minor] along n.
+        shard_id = jax.lax.axis_index("sp").astype(jnp.int32)
+        if has_dcn:
+            shard_id = shard_id + jax.lax.axis_index("dcn").astype(jnp.int32) * sp
+        gidx = idx + shard_id * n_local
+        # Stage 1: ICI within the slice; stage 2: DCN across slices.
         d2, gidx = min_index_allreduce(d2, gidx, "sp", method=method)
+        if has_dcn:
+            d2, gidx = min_index_allreduce(d2, gidx, "dcn", method=method)
         return gidx, d2
 
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("dp", None), P("sp", None)),
+        in_specs=(P("dp", None), P(ref_axes, None)),
         out_specs=(P("dp"), P("dp")),
         check_vma=False,
     )
@@ -102,11 +132,11 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
 def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
     """The (tile_n, n_local, n_pad) a prepared reference array must use to
     enter _build_sharded(prepadded=True)."""
-    sp = mesh.shape["sp"]
+    num_shards = mesh.shape["sp"] * mesh.shape.get("dcn", 1)
     _, tile_n = pick_tiles(k, round_up(m_hint, mesh.shape["dp"] * 8) // mesh.shape["dp"],
-                           cdiv(n, sp))
-    n_local = round_up(cdiv(n, sp), tile_n)
-    return tile_n, n_local, n_local * sp
+                           cdiv(n, num_shards))
+    n_local = round_up(cdiv(n, num_shards), tile_n)
+    return tile_n, n_local, n_local * num_shards
 
 
 def sharded_knn(search, ref, *, mesh: Mesh | None = None,

@@ -103,8 +103,9 @@ class NNIndex:
             self.tile_n, _, n_pad = sharded_layout(self.n, self.k, self.mesh)
             padded = np.full((n_pad, self.k), PAD_VALUE, np.float32)
             padded[: self.n] = ref
+            ref_axes = ("dcn", "sp") if "dcn" in self.mesh.shape else ("sp",)
             self.r_sharded = jax.device_put(
-                padded, NamedSharding(self.mesh, P("sp", None)))
+                padded, NamedSharding(self.mesh, P(ref_axes, None)))
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
