@@ -48,8 +48,8 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
                                          prepadded_soa=True)
 
     @jax.jit
-    def run(search, r_soa, ref_aos):
-        cand = candidates(search, r_soa)
+    def run(search, r_ops, ref_aos):
+        cand = candidates(search, r_ops)
         # Exact refinement gathers rows from the AoS copy: a lane-axis
         # gather from the SoA array is strided and measured ~2.7 ms slower
         # at m=1024 than the row gather.
@@ -66,15 +66,17 @@ class NNIndex:
         self.strategy = strategy
         self.precision = precision
         if strategy == "fused":
-            k_pad = round_up(self.k, 8)
             # tile_n is fixed at prepare time; pick for a large-batch query
             # and reuse (the n padding must match the kernel's tiling).
             _, self.tile_n = pick_tiles(self.k, 1024, self.n)
-            n_pad = round_up(self.n, self.tile_n)
-            r = np.zeros((k_pad, n_pad), np.float32)
-            r[: self.k, : self.n] = ref.T
-            self.r_soa = jnp.asarray(r)
+            # Kernel operands prepared once on device (SoA layout; for the
+            # default bf16x3 path: bf16 hi/lo splits + f32 norms).
+            builder = _build_fused_candidates(8, self.n, self.k, 8,
+                                              self.tile_n, soa=True,
+                                              precision=precision)
             self.ref_dev = jnp.asarray(ref)  # AoS copy for exact refinement
+            self.r_ops = jax.jit(builder.prep_soa)(self.ref_dev)
+            jax.block_until_ready(self.r_ops)
         elif strategy == "kdtree":
             from tpu_knn import native
             from tpu_knn.kdtree.build import build_kdtree
@@ -129,7 +131,7 @@ class NNIndex:
             tile_m, _ = pick_tiles(self.k, m, self.n)
             run = _build_prepared_query(m, self.n, self.k, tile_m,
                                         self.tile_n, self.precision)
-            return run(search, self.r_soa, self.ref_dev)
+            return run(search, self.r_ops, self.ref_dev)
         if self.strategy == "kdtree":
             if self.dev_tree is not None:
                 return self.dev_tree.query(search)

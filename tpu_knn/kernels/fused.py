@@ -86,7 +86,7 @@ def _split_bf16(x):
 def _qr_dot(q_tile, r_tile, precision: str):
     """(tile_m, kp) x (kp, tile_n) -> (tile_m, tile_n) f32 on the MXU."""
     dims = (((1,), (0,)), ((), ()))
-    if precision == "bf16x3":
+    if precision in ("bf16x3", "bf16x3_presplit"):
         q_hi, q_lo = _split_bf16(q_tile)
         r_hi, r_lo = _split_bf16(r_tile)
 
@@ -141,6 +141,51 @@ def _fold_scores(s, base_col, cur_s, cur_i, maximize: bool = False):
         # the bf16 split of an inf norm, and min/max would propagate it.
         cur_s = jnp.where(better, sc, cur_s)
     return cur_s, cur_i
+
+
+def _score_tile_presplit(q_tile, r_hi, r_lo, r_norm):
+    """Scores from pre-split bf16 operands: the three bf16 MXU passes cost
+    barely more than one (measured 2.44 vs 2.33 ms for 3x vs 1x at ds11
+    shape — the passes pipeline), while in-kernel f32->bf16 splitting plus
+    f32 operand traffic costs ~2x. q is split here (tiny); r arrives as
+    (hi, lo) bf16 rows plus a precomputed f32 ‖r‖² row from the XLA prep."""
+    q_hi, q_lo = _split_bf16(q_tile)
+
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    qr = d(q_hi, r_hi) + (d(q_hi, r_lo) + d(q_lo, r_hi))
+    return r_norm - 2.0 * qr
+
+
+def _fused_presplit_kernel(q_ref, r_hi_ref, r_lo_ref, r_norm_ref, out_i_ref,
+                           best_s, best_i, *,
+                           n: int, tile_n: int, n_tiles: int):
+    """Pre-split SoA variant of _fused_kernel (same fold/tie semantics)."""
+    j = pl.program_id(1)
+    ragged = n_tiles * tile_n != n
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, jnp.inf)
+        best_i[:] = jnp.full_like(best_i, _I32_MAX)
+
+    s = _score_tile_presplit(q_ref[:], r_hi_ref[:], r_lo_ref[:], r_norm_ref[:])
+    tile_m = s.shape[0]
+    if ragged:
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
+        s = jnp.where(col < n, s, jnp.inf)
+
+    cur_s, cur_i = _fold_scores(s, j * tile_n, best_s[:], best_i[:])
+    best_s[:] = cur_s
+    best_i[:] = cur_i
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_i_ref[:] = cur_i
 
 
 def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
@@ -200,6 +245,13 @@ def _build_fused_candidates(m: int, n: int, k: int,
     pad+transpose."""
     if prepadded_soa and (not soa or fuse_norm):
         raise ValueError("prepadded_soa requires soa=True, fuse_norm=False")
+    # EXPERIMENTAL non-default: pre-split r into bf16 (hi, lo) + f32 norms
+    # in the XLA prep. A microbenchmark showed 3 bf16 MXU passes pipeline
+    # to ~1-pass cost with bf16 operands, but the full kernel miscompiles
+    # or hits a pathological Mosaic path on v5e (1.3 s AND 496/1024 real
+    # errors at k=3, n=2^20, while interpret mode is correct) — kept for
+    # investigation, off by default. See docs/PERF_NOTES.md.
+    presplit = soa and precision == "bf16x3_presplit" and not fuse_norm
     if tile_n % 128 != 0 or tile_n <= 0:
         raise ValueError(
             f"tile_n must be a positive multiple of 128 (lane width), got "
@@ -215,32 +267,23 @@ def _build_fused_candidates(m: int, n: int, k: int,
     # of the whole reference array (observed HBM OOM at n=2^24, k=3) — the
     # MXU pads the contraction internally instead.
     k_aug = k + 1 if fuse_norm else k  # extra row carries ‖r‖²
-    k_pad = round_up(k_aug, 8) if soa else k
+    if presplit:
+        k_pad = round_up(k_aug, 16)  # bf16 sublane granularity
+    elif soa:
+        k_pad = round_up(k_aug, 8)
+    else:
+        k_pad = k
     m_pad = round_up(m, tile_m)
     n_pad = round_up(n, tile_n)
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
-    kernel = functools.partial(
-        _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles, soa=soa,
-        precision=precision, fuse_norm=fuse_norm,
-    )
-    if soa:
-        r_spec = pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
-                              memory_space=pltpu.VMEM)
-    else:
-        r_spec = pl.BlockSpec((tile_n, k_pad), lambda i, j: (j, 0),
-                              memory_space=pltpu.VMEM)
-
-    call = pl.pallas_call(
-        kernel,
+    q_spec = pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    common = dict(
         grid=(m_tiles, n_tiles),
-        in_specs=[
-            pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            r_spec,
-        ],
-        out_specs=pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((tile_m, 128), jnp.float32),
@@ -253,11 +296,51 @@ def _build_fused_candidates(m: int, n: int, k: int,
         ),
         interpret=interpret_mode(),
     )
+    if presplit:
+        kernel = functools.partial(
+            _fused_presplit_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles,
+        )
+        rb_spec = lambda: pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
+                                       memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            in_specs=[
+                q_spec,
+                rb_spec(),
+                rb_spec(),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            **common,
+        )
+    else:
+        kernel = functools.partial(
+            _fused_kernel, n=n, tile_n=tile_n, n_tiles=n_tiles, soa=soa,
+            precision=precision, fuse_norm=fuse_norm,
+        )
+        if soa:
+            r_spec = pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
+                                  memory_space=pltpu.VMEM)
+        else:
+            r_spec = pl.BlockSpec((tile_n, k_pad), lambda i, j: (j, 0),
+                                  memory_space=pltpu.VMEM)
+        call = pl.pallas_call(kernel, in_specs=[q_spec, r_spec], **common)
+
+    def prep_soa(ref):
+        """(n, k) f32 -> the kernel's reference operands."""
+        r = jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T  # (k_pad, n_pad)
+        if not presplit:
+            return (r,)
+        hi = r.astype(jnp.bfloat16)
+        lo = (r - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rn = jnp.sum(r * r, axis=0, keepdims=True)  # (1, n_pad) f32
+        return hi, lo, rn
 
     def candidates(search, ref):
         if prepadded_soa:
+            # `ref` is the operand tuple produced by candidates.prep_soa.
             q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
-            return call(q, ref)[:m]
+            return call(q, *ref)[:m]
         if fuse_norm:
             # Augment: r gains a ‖r‖² row, q a matching -0.5 column, so the
             # MXU computes q·r − ‖r‖²/2 in the same (contraction-padded)
@@ -266,16 +349,20 @@ def _build_fused_candidates(m: int, n: int, k: int,
             ref_aug = jnp.concatenate([ref, r_norm], axis=1)
             q_col = jnp.full((search.shape[0], 1), -0.5, search.dtype)
             search_aug = jnp.concatenate([search, q_col], axis=1)
-        else:
-            ref_aug, search_aug = ref, search
-        q = jnp.pad(search_aug, ((0, m_pad - m), (0, k_pad - k_aug)))
-        r = jnp.pad(ref_aug, ((0, n_pad - n), (0, k_pad - k_aug)))
+            q = jnp.pad(search_aug, ((0, m_pad - m), (0, k_pad - k_aug)))
+            r = jnp.pad(ref_aug, ((0, n_pad - n), (0, k_pad - k_aug))).T
+            return call(q, r)[:m]
+        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         if soa:
             # v4's mat_inv analog: one XLA transpose into (k, n) so n rides
-            # the lanes (reference core.cu:315-330; README.md:105-111).
-            r = r.T
+            # the lanes (reference core.cu:315-330; README.md:105-111) —
+            # fused with the bf16 split / norm precompute for presplit.
+            return call(q, *prep_soa(ref))[:m]
+        r = jnp.pad(ref, ((0, n_pad - n), (0, 0)))
         return call(q, r)[:m]
 
+    candidates.prep_soa = prep_soa
+    candidates.layout = (k_pad, n_pad, presplit)
     return candidates
 
 
