@@ -12,7 +12,7 @@ def oracle(search, ref):
     return oracle_callback(k, m, ref.shape[0], search, ref)
 
 
-@pytest.mark.parametrize("strategy", ["fused", "kdtree", "sharded"])
+@pytest.mark.parametrize("strategy", ["fused", "kdtree", "sharded", "projection"])
 def test_strategies_match_oracle(strategy):
     rng = np.random.default_rng(0)
     ref = rng.random((20_000, 6), np.float32)

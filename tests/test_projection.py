@@ -1,0 +1,83 @@
+"""v11 projection-window index: exactness (bound + fallback), ties,
+adversarial distributions."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_knn.kernels.projection import (
+    build_projection_index, projection_knn,
+)
+from tpu_knn.oracle import oracle_callback
+
+
+def oracle(search, ref):
+    m, k = search.shape
+    return oracle_callback(k, m, ref.shape[0], search, ref)
+
+
+def test_uniform_matches_oracle_without_fallback():
+    rng = np.random.default_rng(0)
+    ref = rng.random((50_000, 3), np.float32)
+    q = rng.random((64, 3), np.float32)
+    idx, d2 = projection_knn(q, ref, window=2048)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sum((q - ref[np.asarray(idx)]) ** 2, axis=1),
+        rtol=1e-6)
+
+
+def test_adversarial_identical_projections_falls_back_correctly():
+    """All reference points share the split-axis coordinate: the bound can
+    never hold, so every query must take the full-scan fallback and still
+    be exact."""
+    rng = np.random.default_rng(1)
+    ref = rng.random((5_000, 4), np.float32)
+    ref[:, 0] = 0.5
+    ref[:, 1] = 0.5  # variance argmax could pick either flat axis
+    q = rng.random((16, 4), np.float32)
+    # Force the split axis to a flat coordinate.
+    pre = build_projection_index(jnp.asarray(ref), axis=0)
+    idx, _ = projection_knn(q, ref, window=256, prebuilt=pre)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_duplicate_ties_to_lowest_original_index():
+    rng = np.random.default_rng(2)
+    ref = rng.random((4_000, 3), np.float32)
+    ref[3000] = ref[100]  # duplicate with higher original index
+    q = ref[100][None, :] + np.float32(1e-4)
+    idx, _ = projection_knn(q, ref, window=1024)
+    assert int(idx[0]) == min(100, int(oracle(q, ref)[0]))
+
+
+def test_tiny_n_window_covers_everything():
+    rng = np.random.default_rng(3)
+    ref = rng.random((10, 5), np.float32)
+    q = rng.random((4, 5), np.float32)
+    idx, _ = projection_knn(q, ref, window=4096)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_registered_version_v11():
+    import tpu_knn
+
+    rng = np.random.default_rng(4)
+    ref = rng.random((30_000, 3), np.float32)
+    q = rng.random((32, 3), np.float32)
+    got = tpu_knn.knn_callback(3, 32, 30_000, q, ref, version="v11")
+    np.testing.assert_array_equal(got, oracle(q, ref))
+
+
+def test_clustered_near_duplicates_v11():
+    rng = np.random.default_rng(5)
+    centers = rng.random((16, 4), np.float32)
+    ref = (centers[rng.integers(0, 16, 20_000)]
+           + rng.normal(0, 1e-4, (20_000, 4))).astype(np.float32)
+    q = (centers[rng.integers(0, 16, 32)]
+         + rng.normal(0, 1e-4, (32, 4))).astype(np.float32)
+    idx = np.asarray(projection_knn(q, ref, window=2048)[0])
+    from tpu_knn.harness.checker import check_results
+
+    errors, total = check_results(oracle(q, ref), idx, q, ref)
+    assert errors == 0

@@ -18,7 +18,8 @@ def oracle_knn(search, ref):
     return oracle_callback(k, m, ref.shape[0], search, ref)
 
 # Versions exercised by this module as they come online.
-ALL_VERSIONS = ["v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8", "v9", "v10"]
+ALL_VERSIONS = ["v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8", "v9", "v10",
+                "v11"]
 
 
 def available(version):

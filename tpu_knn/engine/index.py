@@ -16,6 +16,9 @@ Strategies:
 - "kdtree":  host KD-tree built once; implicit-heap arrays device-resident;
              batched TPU traversal per query batch (k <= 8), native CPU
              query otherwise.
+- "projection": reference set sorted once by its max-variance axis (v11);
+             queries scan dense windows with a provable exactness bound
+             and full-scan fallback — the TPU-native spatial index.
 - "sharded": reference set sharded over a (dp, sp) mesh once via
              device_put; queries run the v8 shard_map pipeline with no
              per-call resharding.
@@ -77,6 +80,12 @@ class NNIndex:
             self.ref_dev = jnp.asarray(ref)  # AoS copy for exact refinement
             self.r_ops = jax.jit(builder.prep_soa)(self.ref_dev)
             jax.block_until_ready(self.r_ops)
+        elif strategy == "projection":
+            from tpu_knn.kernels.projection import build_projection_index
+
+            self.ref_dev = jnp.asarray(ref)
+            self.proj_index = build_projection_index(self.ref_dev)
+            jax.block_until_ready(self.proj_index)
         elif strategy == "kdtree":
             from tpu_knn import native
             from tpu_knn.kdtree.build import build_kdtree
@@ -132,6 +141,11 @@ class NNIndex:
             run = _build_prepared_query(m, self.n, self.k, tile_m,
                                         self.tile_n, self.precision)
             return run(search, self.r_ops, self.ref_dev)
+        if self.strategy == "projection":
+            from tpu_knn.kernels.projection import projection_knn
+
+            return projection_knn(search, self.ref_dev,
+                                  prebuilt=self.proj_index)
         if self.strategy == "kdtree":
             if self.dev_tree is not None:
                 return self.dev_tree.query(search)

@@ -85,6 +85,7 @@ def _ensure_builtins() -> None:
         "tpu_knn.kernels.fused",
         "tpu_knn.kernels.twolevel",
         "tpu_knn.kernels.dma_pipeline",
+        "tpu_knn.kernels.projection",
         "tpu_knn.distributed.sharded",
         "tpu_knn.kdtree.versions",
     ):

@@ -1,0 +1,217 @@
+"""v11 — projection-sorted window index (beyond the reference ladder).
+
+The reference's only sublinear structure is the KD-tree (v9/v10), whose
+pointer-chasing traversal is hostile to TPUs (docs/PERF_NOTES.md: ~1000x
+slower than its CPU twin). This is the TPU-native answer to spatial
+pruning: everything is dense, batched, and branch-free.
+
+Build: sort the reference points by their coordinate on the maximum-
+variance axis (the same split heuristic as the KD-tree root,
+core.cu:991-1003 — but applied once, globally).
+
+Query: for each query, `searchsorted` locates its projection in the
+sorted order; a fixed-width window of W consecutive points around that
+position is gathered densely and scanned with exact f32 diff-form
+distances (the oracle's conditioning). The result is *provably* exact
+when the nearest out-of-window projections on both sides are strictly
+farther (in the 1-D projection metric, which lower-bounds the full
+distance) than the best in-window distance:
+
+    d²(q, r) >= (q[d] - r[d])²   for any axis d,
+
+so if (q[d] - proj_outside)² > d²_best on both sides, no outside point
+can beat (or tie) the window winner. Queries that fail the bound fall
+back to the fused full scan — correctness never depends on the data
+distribution, only speed does (uniform data at W=4096 virtually never
+falls back; adversarial data with all mass on one projection value
+degrades to v4's cost plus a cheap window pass).
+
+Tie-breaking matches v0: within the window, equal computed distances pick
+the smallest ORIGINAL reference index (the sort permutation is carried
+alongside); the strict ">" bound means tied points can never be outside
+the window.
+
+Performance status (docs/PERF_NOTES.md): correct everywhere, but on this
+stack the grouped `lax.scan` pays ~0.3 ms per group step, so at the bench
+shapes it loses to the brute-force fused kernel (37 vs 6 ms at ds10/11).
+The asymptotics favor it (O(m·w + n·G) pairs vs O(m·n)); the planned fix
+is a Pallas PrefetchScalarGridSpec kernel whose r-block index map reads
+per-query window starts, eliminating the scan entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_knn.engine.registry import register_version
+from tpu_knn.kernels.fused import _I32_MAX, fused_knn
+from tpu_knn.utils.shapes import round_up
+
+DEFAULT_WINDOW = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("axis",))
+def build_projection_index(ref, axis: int | None = None):
+    """Returns (ref_sorted (n,k), order (n,) i32, axis (scalar i32),
+    proj (n,) f32 sorted projections, rnorm (n,) f32 sorted ‖r‖²).
+
+    axis: fixed split axis, or None to pick the max-variance one.
+    """
+    if axis is None:
+        var = jnp.var(ref, axis=0)
+        d = jnp.argmax(var)
+    else:
+        d = jnp.int32(axis)
+    proj = jnp.take_along_axis(ref, jnp.broadcast_to(d, (ref.shape[0], 1)),
+                               axis=1)[:, 0]
+    order = jnp.argsort(proj, stable=True).astype(jnp.int32)
+    ref_sorted = ref[order]
+    rnorm = jnp.sum(ref_sorted * ref_sorted, axis=1)
+    return ref_sorted, order, d, proj[order], rnorm
+
+
+#: Queries per group in the grouped-window scan. Small groups keep the
+#: group's projection spread (and so the slice length) small.
+DEFAULT_GROUP = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _build_window_query(m: int, n: int, k: int, window: int,
+                        group: int = DEFAULT_GROUP):
+    """Grouped contiguous-slice scan.
+
+    A naive per-query window gather is gather-bound on TPU (measured
+    76-104 ms at m=1024 — 30x slower than the full fused scan). Instead:
+    sort the QUERIES by projection too, take groups of `group` consecutive
+    queries, and give each group ONE contiguous slice of the sorted
+    reference array covering every member's window — `lax.scan` over
+    groups with `dynamic_slice` is dense block traffic, no gathers.
+
+    The slice length must be static: window + a spread budget sized for
+    `group` consecutive uniform-ish queries. Queries whose ideal window
+    doesn't fit their group's slice simply fail the per-query bound and
+    take the full-scan fallback — exactness never depends on the budget.
+    """
+    g = min(group, m)
+    num_groups = -(-m // g)
+    m_pad = num_groups * g
+    w = min(window, n)
+    # Spread budget: ~4x the expected reference span of g consecutive
+    # queries when query and reference distributions match, plus slack.
+    spread = min(n, 4 * (n * g) // max(m, 1) + 256)
+    L = min(n, w + spread)
+
+    @jax.jit
+    def run(search, ref_sorted, order, axis, proj, rnorm):
+        q_proj = jnp.take_along_axis(
+            search, jnp.broadcast_to(axis, (m, 1)), axis=1)[:, 0]
+        pos = jnp.searchsorted(proj, q_proj).astype(jnp.int32)
+
+        # Sort queries by projection; process groups; un-permute at the end.
+        q_order = jnp.argsort(q_proj, stable=True).astype(jnp.int32)
+        q_sorted = search[q_order]
+        pos_sorted = pos[q_order]
+        qp_sorted = q_proj[q_order]
+        pad = m_pad - m
+        if pad:
+            q_sorted = jnp.pad(q_sorted, ((0, pad), (0, 0)))
+            pos_sorted = jnp.pad(pos_sorted, (0, pad))
+            qp_sorted = jnp.pad(qp_sorted, (0, pad))
+        qg = q_sorted.reshape(num_groups, g, k)
+        posg = pos_sorted.reshape(num_groups, g)
+        qpg = qp_sorted.reshape(num_groups, g)
+
+        # Group slice start: cover the lowest member's left window edge.
+        start_g = jnp.clip(jnp.min(posg, axis=1) - w // 2, 0, n - L)
+
+        def step(_, xs):
+            q_grp, pos_grp, qp_grp, start = xs
+            win = jax.lax.dynamic_slice(ref_sorted, (start, 0), (L, k))
+            ord_win = jax.lax.dynamic_slice(order, (start,), (L,))
+            rn_win = jax.lax.dynamic_slice(rnorm, (start,), (L,))
+            # Norm-trick matmul, not the (g, L, k) diff broadcast: a
+            # last-dim-k intermediate puts k<=16 on the 128-wide lanes
+            # (8-40x padding waste — measured 27-64 ms for the batch).
+            qw = jax.lax.dot_general(
+                q_grp, win, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            qn2 = jnp.sum(q_grp * q_grp, axis=1, keepdims=True)
+            d2 = qn2 + rn_win[None, :] - 2.0 * qw           # (g, L) f32
+            v = jnp.min(d2, axis=1, keepdims=True)
+            tie = jnp.where(d2 == v, ord_win[None, :], _I32_MAX)
+            idx = jnp.min(tie, axis=1).astype(jnp.int32)
+            d_best = v[:, 0]
+            # Per-query exactness bound against the slice edges: points
+            # outside the slice must be strictly farther in projection.
+            lp = jnp.where(start >= 1,
+                           proj[jnp.maximum(start - 1, 0)], -jnp.inf)
+            rp = jnp.where(start + L < n,
+                           proj[jnp.minimum(start + L, n - 1)], jnp.inf)
+            dl = qp_grp - lp
+            dr = rp - qp_grp
+            ok = (dl * dl > d_best) & (dr * dr > d_best)
+            return 0, (idx, d_best, ok)
+
+        _, (idx_g, d_g, ok_g) = jax.lax.scan(
+            step, 0, (qg, posg, qpg, start_g))
+        idx_s = idx_g.reshape(m_pad)[:m]
+        ok_s = ok_g.reshape(m_pad)[:m]
+        # Un-permute back to input query order.
+        inv = jnp.zeros((m,), jnp.int32).at[q_order].set(
+            jnp.arange(m, dtype=jnp.int32))
+        idx_out = idx_s[inv]
+        ok_out = ok_s[inv]
+        # Winner distances recomputed in exact f32 diff form (the in-scan
+        # norm-trick values select correctly but carry cancellation error
+        # near d=0); one m-row gather, negligible.
+        diff = search - jnp.take(ref_sorted, jnp.take(
+            jnp.zeros((n,), jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32)), idx_out), axis=0)
+        d_exact = jnp.sum(diff * diff, axis=1)
+        return idx_out, d_exact, ok_out
+
+    return run
+
+
+def projection_knn(search, ref, *, window: int = DEFAULT_WINDOW,
+                   group: int = DEFAULT_GROUP, prebuilt=None):
+    """Exact 1-NN via the projection index.
+
+    Returns (idx (m,) i32, d2 (m,) f32) device arrays. `prebuilt` is the
+    build_projection_index output for reuse (NNIndex); built per call
+    otherwise (the reference's per-call KD-tree build, core.cu:1030).
+    """
+    search = jnp.asarray(search, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    m, k = search.shape
+    n = ref.shape[0]
+    index = (prebuilt if prebuilt is not None
+             else build_projection_index(ref))
+    run = _build_window_query(m, n, k, window, group)
+    idx, d2, ok = run(search, *index)
+    if bool(jnp.all(ok)):
+        return idx, d2
+    # Fallback: the bound failed for some query — full fused scan for the
+    # whole batch (correct for any data; the window pass was cheap).
+    return fused_knn(search, ref)
+
+
+def v11_callback(k, m, n, search, ref):
+    idx, _ = projection_knn(search, ref)
+    return np.asarray(jax.device_get(idx), dtype=np.int32)
+
+
+register_version(
+    "v11",
+    v11_callback,
+    "projection-sorted window index: dense batched spatial pruning with "
+    "provable exactness bound and full-scan fallback (TPU-native, beyond "
+    "the reference ladder)",
+    guard=lambda k, m, n: n >= 2,
+    fallback="v4",
+)
