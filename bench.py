@@ -80,11 +80,13 @@ def main():
               file=sys.stderr, flush=True)
 
         reps = 20 if m * n <= (1 << 30) else 10
-        t0 = time.time()
-        for _i in range(reps):
-            idx, d2 = fused_knn(q, r)
-        idx.block_until_ready()
-        ms = (time.time() - t0) / reps * 1e3
+        ms = float("inf")
+        for _trial in range(2):  # best-of-2: the tunnel adds run noise
+            t0 = time.time()
+            for _i in range(reps):
+                idx, d2 = fused_knn(q, r)
+            idx.block_until_ready()
+            ms = min(ms, (time.time() - t0) / reps * 1e3)
 
         row = {
             "name": name,
