@@ -68,3 +68,25 @@ def test_one_dimension(version):
     ref = rng.random((3_000, 1), np.float32)
     search = rng.random((8, 1), np.float32)
     run_gate(version, search, ref)
+
+
+def test_auto_precision_tiers():
+    from tpu_knn.kernels.fused import auto_precision
+
+    assert auto_precision(16, 1 << 24) == "bf16x3"   # log2 n = 24 < 80
+    assert auto_precision(4, 1 << 24) == "bf16x4"    # 20 < 24 <= 28
+    assert auto_precision(3, 1 << 24) == "highest"   # 24 > 21
+    assert auto_precision(3, 1 << 20) == "bf16x4"    # 15 < 20 <= 21
+    assert auto_precision(3, 1 << 14) == "bf16x3"    # 14 < 15
+    assert auto_precision(2, 1 << 20) == "highest"   # 20 > 14
+    assert auto_precision(1, 1 << 10) == "highest"
+
+
+def test_bf16x4_path_matches_oracle():
+    rng = np.random.default_rng(9)
+    ref = rng.random((100_000, 3), np.float32)  # log2 n ~ 16.6 > 15 -> x4
+    search = rng.random((16, 3), np.float32)
+    from tpu_knn.kernels.fused import auto_precision
+
+    assert auto_precision(3, 100_000) == "bf16x4"
+    run_gate("v4", search, ref)

@@ -90,8 +90,12 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
     tile_n = tile_n or auto_tile_n
     n_local = round_up(cdiv(n, num_shards), tile_n)
     n_pad = n_local * num_shards
+    from tpu_knn.kernels.fused import auto_precision
+
+    # Precision from the GLOBAL n (the gate's tightness is global).
     candidates = _build_fused_candidates(m_local, n_local, k,
-                                         tile_m, tile_n, soa=True)
+                                         tile_m, tile_n, soa=True,
+                                         precision=auto_precision(k, n))
 
     def shard_fn(q_local, r_local):
         # q_local: (m_local, k); r_local: (n_local, k)

@@ -63,10 +63,14 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
 
 class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
-                 precision: str = DEFAULT_PRECISION):
+                 precision: str | None = None):
         ref = np.ascontiguousarray(ref, np.float32)
         self.n, self.k = ref.shape
         self.strategy = strategy
+        if precision is None:
+            from tpu_knn.kernels.fused import auto_precision
+
+            precision = auto_precision(self.k, self.n)
         self.precision = precision
         if strategy == "fused":
             # tile_n is fixed at prepare time; pick for a large-batch query

@@ -125,7 +125,7 @@ def _build_dma(m: int, n: int, k: int, tile_m: int, tile_n: int,
 
 
 def dma_knn(search, ref, *, tile_m: int | None = None,
-            tile_n: int | None = None, precision: str = DEFAULT_PRECISION):
+            tile_n: int | None = None, precision: str | None = None):
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
@@ -134,6 +134,10 @@ def dma_knn(search, ref, *, tile_m: int | None = None,
         tm, tn = pick_tiles(k, m, n, tile_m=tile_m)
         tile_m = tile_m or tm
         tile_n = tile_n or tn
+    if precision is None:
+        from tpu_knn.kernels.fused import auto_precision
+
+        precision = auto_precision(k, n)
     run = _build_dma(m, n, k, tile_m, tile_n, precision)
     return run(search, ref)
 

@@ -86,7 +86,7 @@ def _split_bf16(x):
 def _qr_dot(q_tile, r_tile, precision: str):
     """(tile_m, kp) x (kp, tile_n) -> (tile_m, tile_n) f32 on the MXU."""
     dims = (((1,), (0,)), ((), ()))
-    if precision in ("bf16x3", "bf16x3_presplit"):
+    if precision in ("bf16x3", "bf16x3_presplit", "bf16x4"):
         q_hi, q_lo = _split_bf16(q_tile)
         r_hi, r_lo = _split_bf16(r_tile)
 
@@ -96,13 +96,42 @@ def _qr_dot(q_tile, r_tile, precision: str):
                 preferred_element_type=jnp.float32,
             )
 
-        return d(q_hi, r_hi) + (d(q_hi, r_lo) + d(q_lo, r_hi))
+        qr = d(q_hi, r_hi) + (d(q_hi, r_lo) + d(q_lo, r_hi))
+        if precision == "bf16x4":
+            # The lo·lo term (~2^-18 of |q||r| per term) dominates bf16x3's
+            # error; including it buys ~8x margin where near-ties are
+            # uncorrelated (large n, small k — see auto_precision).
+            qr = qr + d(q_lo, r_lo)
+        return qr
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     return jax.lax.dot_general(
         q_tile, r_tile, dimension_numbers=dims,
         preferred_element_type=jnp.float32, precision=prec,
     )
+
+
+def auto_precision(k: int, n: int) -> str:
+    """Precision tier for the score matmul.
+
+    The ±1e-3 gate is tightest where nearest-neighbor distances are tiny
+    relative to coordinate scale: for uniform data d_NN ~ n^(-1/k), so the
+    squared-space gate width shrinks as n grows and k falls. Observed:
+    bf16x3 passes everywhere tested up to n=2^20, but at (k=3, n=2^24) a
+    lane eviction exceeded tolerance (caught by v11's exact window path).
+    Upgrade to bf16x4 when log2(n) > 5k and to full f32 when
+    log2(n) > 7k: at (k=3, n=2^24) even bf16x4 left 1/16 queries beyond
+    tolerance (the 2^-17 hi+lo representation error is irreducible), while
+    full f32's ~2^-23 relative error sits well inside the gate.
+    """
+    import math
+
+    log2n = math.log2(max(n, 2))
+    if log2n > 7 * k:
+        return "highest"
+    if log2n > 5 * k:
+        return "bf16x4"
+    return DEFAULT_PRECISION
 
 
 def _score_tile(q_tile, r_tile, *, soa: bool, precision: str,
@@ -406,7 +435,7 @@ def _refine(search, ref, cand, n):
 
 def fused_knn(search, ref, *, soa: bool = True,
               tile_m: int | None = None, tile_n: int | None = None,
-              precision: str = DEFAULT_PRECISION):
+              precision: str | None = None):
     """Run the fused kernel on (m,k)/(n,k) arrays.
 
     Returns (indices (m,) i32, true squared distances (m,) f32) as device
@@ -422,6 +451,8 @@ def fused_knn(search, ref, *, soa: bool = True,
         tm, tn = pick_tiles(k, m, n, tile_m=tile_m)
         tile_m = tile_m or tm
         tile_n = tile_n or tn
+    if precision is None:
+        precision = auto_precision(k, n)
     run = _build_fused(m, n, k, tile_m, tile_n, soa, precision)
     return run(search, ref)
 

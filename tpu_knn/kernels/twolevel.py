@@ -43,7 +43,12 @@ def _build_twolevel(m: int, n: int, k: int, parts: int,
                     tile_m: int, tile_n: int):
     n_shard = round_up(cdiv(n, parts), tile_n)
     n_pad = n_shard * parts
-    kernel = _build_fused_candidates(m, n_shard, k, tile_m, tile_n, soa=True)
+    from tpu_knn.kernels.fused import auto_precision
+
+    # Precision from the GLOBAL n: the gate's tightness is set by the
+    # global nearest-neighbor distance scale, not the shard's.
+    kernel = _build_fused_candidates(m, n_shard, k, tile_m, tile_n, soa=True,
+                                     precision=auto_precision(k, n))
 
     @jax.jit
     def run(search, ref):
