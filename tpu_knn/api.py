@@ -25,6 +25,10 @@ def knn_callback(k: int, m: int, n: int, search, ref, version: str | None = None
     `cudaCallback` (core.cu:1282-1297): the best registered version in
     production preference order (v8 first, degrading down to v0).
     """
+    if m == 0:
+        return np.empty((0,), np.int32)
+    if n == 0:
+        raise ValueError("reference set is empty (n=0): no nearest neighbor exists")
     v = get_version(version) if version is not None else best_available_version()
     return v(k, m, n, np.asarray(search, np.float32), np.asarray(ref, np.float32))
 

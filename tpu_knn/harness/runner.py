@@ -51,7 +51,8 @@ def warm_up(versions):
 
 
 def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
-        collect_golden=False, device_data=False, warm_shapes=True):
+        collect_golden=False, device_data=False, warm_shapes=True,
+        records=None):
     """Run the harness; returns (all_pass, golden_lines).
 
     warm_shapes: call each (version, shape) once untimed before the timed
@@ -88,6 +89,10 @@ def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
                 results = tpu_knn.knn_callback(k, m, n, search, ref,
                                                version=version)
             log(f"Callback{t}, {k:2d}, {m:4d}, {n:5d}, {out['ms']:10.3f}ms")
+            record = {"version": version, "k": k, "m": m, "n": n,
+                      "ms": round(out["ms"], 3)}
+            if records is not None:
+                records.append(record)
 
             if i not in baseline:
                 baseline[i] = results
@@ -98,6 +103,8 @@ def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
             elif check:
                 errors, total = check_results(baseline[i], results, search, ref)
                 log(f"errors/total w.r.t. baseline: {errors}/{total}\n")
+                record["errors"] = errors
+                record["total"] = total
                 if errors:
                     all_pass = False
     return all_pass, golden_lines
@@ -120,6 +127,9 @@ def main(argv=None):
                     help="also write the transcript here")
     ap.add_argument("--results-csv", metavar="PATH",
                     help="write baseline outputs in results.csv format")
+    ap.add_argument("--json", metavar="PATH",
+                    help="write structured per-run records (version, shape, "
+                         "ms, errors) as JSON")
     args = ap.parse_args(argv)
 
     versions = [v.strip() for v in args.versions.split(",") if v.strip()]
@@ -144,13 +154,21 @@ def main(argv=None):
 
     ok = True
     golden = []
+    records = []
     for shapes, device_data in phases:
         phase_ok, phase_golden = run(
             versions, shapes, seed=args.seed, check=not args.no_check,
             log=log, collect_golden=bool(args.results_csv) and not device_data,
-            device_data=device_data, warm_shapes=not args.cold)
+            device_data=device_data, warm_shapes=not args.cold,
+            records=records)
         ok = ok and phase_ok
         golden.extend(phase_golden)
+
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(records, f, indent=2)
 
     if args.screen_log:
         with open(args.screen_log, "w") as f:
