@@ -71,22 +71,29 @@ def test_one_dimension(version):
 
 
 def test_auto_precision_tiers():
-    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.fused import auto_precision, _packed_terms
 
-    assert auto_precision(16, 1 << 24) == "bf16x3"   # log2 n = 24 < 80
-    assert auto_precision(4, 1 << 24) == "bf16x4"    # 20 < 24 <= 28
-    assert auto_precision(3, 1 << 24) == "highest"   # 24 > 21
-    assert auto_precision(3, 1 << 20) == "bf16x4"    # 15 < 20 <= 21
-    assert auto_precision(3, 1 << 14) == "bf16x3"    # 14 < 15
-    assert auto_precision(2, 1 << 20) == "highest"   # 20 > 14
-    assert auto_precision(1, 1 << 10) == "highest"
+    # k <= 32: packed single-pass (free precision in contraction slots).
+    for k in (1, 2, 3, 16, 32):
+        assert auto_precision(k, 1 << 24) == "packed"
+    # Packed term selection by k_pad.
+    assert _packed_terms(8) == (3, [(i, j) for i in range(3) for j in range(3)])
+    assert len(_packed_terms(16)[1]) == 8    # 3-split minus lo·lo
+    assert _packed_terms(32)[0] == 2         # 2x2
+    assert _packed_terms(40)[0] == 0         # too wide — multi-pass ladder
+    # k > 32: the multi-pass ladder with the large-n upgrade rule.
+    assert auto_precision(40, 1 << 20) == "bf16x3"
+    assert auto_precision(33, 1 << 24) == "bf16x3"
 
 
-def test_bf16x4_path_matches_oracle():
+@pytest.mark.parametrize("precision", ["packed", "bf16x4", "highest"])
+def test_precision_modes_match_oracle(precision):
     rng = np.random.default_rng(9)
-    ref = rng.random((100_000, 3), np.float32)  # log2 n ~ 16.6 > 15 -> x4
+    ref = rng.random((100_000, 3), np.float32)
     search = rng.random((16, 3), np.float32)
-    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.fused import fused_knn
 
-    assert auto_precision(3, 100_000) == "bf16x4"
-    run_gate("v4", search, ref)
+    idx, d2 = fused_knn(search, ref, precision=precision)
+    errors, total = check_results(oracle(search, ref), np.asarray(idx),
+                                  search, ref)
+    assert errors == 0, f"{precision}: {errors}/{total}"

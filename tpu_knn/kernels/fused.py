@@ -83,9 +83,60 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _split_bf16_3(x):
+    """Split f32 into (hi, mid, lo) bf16: x ≈ hi+mid+lo, error ~2^-26 |x|
+    (more mantissa than f32 itself carries — effectively exact)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _packed_terms(k_pad: int):
+    """Choose the packed-contraction term list for k_pad contraction rows.
+
+    The MXU pass cost is k-independent below 128 (the systolic depth is
+    always padded), so unused contraction slots are FREE precision: packing
+    split-product terms side by side computes a multi-term compensated dot
+    in a single pass. Returns (n_splits, term_pairs) where term_pairs lists
+    (q_part_idx, r_part_idx) into the split tuple.
+    """
+    if 9 * k_pad <= 128:
+        # full 3x3: near-exact (~2^-26 relative)
+        return 3, [(i, j) for i in range(3) for j in range(3)]
+    if 8 * k_pad <= 128:
+        # 3-split, drop lo·lo (~2^-34 relative — still effectively exact)
+        return 3, [(i, j) for i in range(3) for j in range(3)
+                   if not (i == 2 and j == 2)]
+    if 4 * k_pad <= 128:
+        # 2x2: bf16x4 quality (~2^-17 representation error)
+        return 2, [(i, j) for i in range(2) for j in range(2)]
+    return 0, []  # does not fit — caller falls back to multi-pass
+
+
+def _qr_dot_packed(q_tile, r_tile, n_splits: int, pairs):
+    """Single-pass compensated dot: split q (lanes) and r (sublanes) into
+    bf16 parts and concatenate one (q_part, r_part) block per term along
+    the contraction axis."""
+    q_parts = _split_bf16_3(q_tile) if n_splits == 3 else _split_bf16(q_tile)
+    r_parts = _split_bf16_3(r_tile) if n_splits == 3 else _split_bf16(r_tile)
+    q_cat = jnp.concatenate([q_parts[i] for i, _ in pairs], axis=1)
+    r_cat = jnp.concatenate([r_parts[j] for _, j in pairs], axis=0)
+    return jax.lax.dot_general(
+        q_cat, r_cat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _qr_dot(q_tile, r_tile, precision: str):
     """(tile_m, kp) x (kp, tile_n) -> (tile_m, tile_n) f32 on the MXU."""
     dims = (((1,), (0,)), ((), ()))
+    if precision == "packed":
+        n_splits, pairs = _packed_terms(q_tile.shape[1])
+        if n_splits:
+            return _qr_dot_packed(q_tile, r_tile, n_splits, pairs)
+        precision = "bf16x3"  # contraction too wide to pack — multi-pass
     if precision in ("bf16x3", "bf16x3_presplit", "bf16x4"):
         q_hi, q_lo = _split_bf16(q_tile)
         r_hi, r_lo = _split_bf16(r_tile)
@@ -119,13 +170,22 @@ def auto_precision(k: int, n: int) -> str:
     squared-space gate width shrinks as n grows and k falls. Observed:
     bf16x3 passes everywhere tested up to n=2^20, but at (k=3, n=2^24) a
     lane eviction exceeded tolerance (caught by v11's exact window path).
-    Upgrade to bf16x4 when log2(n) > 5k and to full f32 when
-    log2(n) > 7k: at (k=3, n=2^24) even bf16x4 left 1/16 queries beyond
-    tolerance (the 2^-17 hi+lo representation error is irreducible), while
-    full f32's ~2^-23 relative error sits well inside the gate.
+    For k <= 32 the packed single-pass dot applies (unused contraction
+    slots carry the split terms): k_pad <= 16 gives ~2^-26 relative error
+    (beyond f32 — always gate-safe), k <= 32 gives bf16x4 quality, which
+    is safe wherever the log-rule wouldn't demand better (that only
+    happens for k <= 3, where the exact 3-split always fits). For k > 32
+    the multi-pass ladder applies: bf16x3 -> bf16x4 when log2(n) > 5k ->
+    full f32 when log2(n) > 7k — at (k=3, n=2^24) bf16x4's 2^-17
+    representation error left 1/16 queries beyond tolerance, which is how
+    this rule was calibrated (caught by v11's exact window path).
     """
     import math
 
+    from tpu_knn.utils.shapes import round_up as _ru
+
+    if 4 * _ru(k, 8) <= 128:
+        return "packed"
     log2n = math.log2(max(n, 2))
     if log2n > 7 * k:
         return "highest"
