@@ -159,15 +159,13 @@ def main():
               flush=True)
 
         # KD-tree build/query split (reference README.md:334-343).
-        from tpu_knn.engine.index import NNIndex as _NNI
-
         kq = jax.random.fold_in(key, 101)
         rk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 2),
                                            (65536, 3), jnp.float32))
         qk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 1),
                                            (1024, 3), jnp.float32))
         t0 = time.time()
-        tree_index = _NNI(rk, strategy="kdtree")
+        tree_index = NNIndex(rk, strategy="kdtree")
         kd_build_ms = (time.time() - t0) * 1e3
         tree_index.query(qk)  # warm (compile/load)
         t0 = time.time()

@@ -42,6 +42,42 @@ def test_adversarial_identical_projections_falls_back_correctly():
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
 
 
+def test_exact_duplicate_beats_near_tie():
+    """Regression (code-review repro): an exact duplicate of the query
+    (true d²=0) must beat a 1e-4-offset point even though the in-window
+    norm-trick scores can mis-rank them — the exact diff-form re-ranking
+    over the candidate set must recover d²=0."""
+    rng = np.random.default_rng(7)
+    ref = rng.random((20_000, 4), np.float32)
+    q = ref[777][None, :].copy()
+    ref[500] = q[0]          # exact duplicate (besides 777)
+    ref[10] = q[0] + np.float32(1e-4) * np.eye(4, dtype=np.float32)[0]
+    idx, d2 = projection_knn(q, ref, window=2048)
+    assert float(d2[0]) == 0.0, f"got d2={float(d2[0])}, idx={int(idx[0])}"
+
+
+def test_ragged_group_padding_keeps_bound():
+    """m not a multiple of the group size: padded slots must not drag the
+    last group's slice anchor to position 0 (edge padding)."""
+    rng = np.random.default_rng(8)
+    ref = rng.random((50_000, 3), np.float32)
+    q = rng.random((100, 3), np.float32)  # 100 % 8 != 0
+    idx, _ = projection_knn(q, ref, window=2048)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_per_query_fallback_merge():
+    """Queries with failing bounds get fused answers; certified ones keep
+    window answers — the merge must be exact for both populations."""
+    rng = np.random.default_rng(9)
+    ref = rng.random((30_000, 3), np.float32)
+    # Outlier queries beyond the data range have huge d_best -> bound fails.
+    q = np.concatenate([rng.random((8, 3)), 5.0 + rng.random((8, 3))]
+                       ).astype(np.float32)
+    idx, _ = projection_knn(q, ref, window=1024)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
 def test_duplicate_ties_to_lowest_original_index():
     rng = np.random.default_rng(2)
     ref = rng.random((4_000, 3), np.float32)

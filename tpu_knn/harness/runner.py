@@ -133,6 +133,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     versions = [v.strip() for v in args.versions.split(",") if v.strip()]
+    if args.results_csv and args.shapes == "big":
+        ap.error("--results-csv requires host-stream data; big shapes are "
+                 "device-generated (use --shapes ta or both)")
     # TA datasets use the glibc-parity host stream (golden reproducibility);
     # big shapes always use jax.random on device — drawing 2^24-point sets
     # through the host stream would be pointless and absurdly slow

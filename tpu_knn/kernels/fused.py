@@ -451,7 +451,6 @@ def _build_fused_candidates(m: int, n: int, k: int,
         return call(q, r)[:m]
 
     candidates.prep_soa = prep_soa
-    candidates.layout = (k_pad, n_pad, presplit)
     return candidates
 
 

@@ -36,7 +36,8 @@ def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None) -> tuple[int, 
         # n=2^20 where 512x2048 wins 5.7 vs 6.1 ms).
         cap = 256 if n <= (1 << 17) else 512
         tile_m = min(cap, round_up(m, SUBLANE))
-    budget = SCORE_TILE_BUDGET // (2 if n <= (1 << 17) else 1)
+    # 256x1024 measured best for short sweeps -> quarter budget there.
+    budget = SCORE_TILE_BUDGET // (4 if n <= (1 << 17) else 1)
     tile_n = min(MAX_TILE_N, budget // tile_m)
     tile_n = min(tile_n, round_up(n, LANE))
     tile_n = max(LANE, (tile_n // LANE) * LANE)
