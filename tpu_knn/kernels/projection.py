@@ -34,12 +34,16 @@ the smallest ORIGINAL reference index (the sort permutation is carried
 alongside); the strict ">" bound means tied points can never be outside
 the window.
 
-Performance status (docs/PERF_NOTES.md): correct everywhere, but on this
-stack the grouped `lax.scan` pays ~0.3 ms per group step, so at the bench
-shapes it loses to the brute-force fused kernel (37 vs 6 ms at ds10/11).
-The asymptotics favor it (O(m·w + n·G) pairs vs O(m·n)); the planned fix
-is a Pallas PrefetchScalarGridSpec kernel whose r-block index map reads
-per-query window starts, eliminating the scan entirely.
+Performance status (docs/PERF_NOTES.md): correct and certified
+everywhere, but on this stack every XLA building block it needs is
+10-100x off its hardware cost — `lax.scan` steps ~0.3 ms, a 262144-row
+dynamic_slice ~3 ms in ANY layout, window gathers ~55 rows/us — so it
+loses to the brute-force fused kernel at every measured shape. The
+pairs-count asymptotics favor it strongly (O(m·w) vs O(m·n), w ~
+4·n^(1-1/k)); the planned fix is a Pallas PrefetchScalarGridSpec kernel
+whose r-block index map reads per-query window starts, replacing scan +
+dynamic_slice with the same double-buffered DMA streaming the fused
+kernel enjoys.
 """
 
 from __future__ import annotations
@@ -55,6 +59,21 @@ from tpu_knn.kernels.fused import _I32_MAX, fused_knn
 from tpu_knn.utils.shapes import round_up
 
 DEFAULT_WINDOW = 4096
+
+
+def auto_window(k: int, n: int) -> int:
+    """Window size for a high certification rate on uniform-ish data.
+
+    The bound needs the window's projection half-width (~w/(2n) of the
+    data range) to exceed d_NN ~ n^(-1/k), i.e. w >~ 2·n^(1-1/k). Use 4x
+    for slack, 128-aligned. This grows almost linearly in n for small k —
+    the honest geometry of 1-D projection pruning (it thins as n^(1/k)),
+    which is why v11's niche is small query batches, where per-query
+    windows are still far cheaper than m full scans.
+    """
+    w = int(4.0 * n ** (1.0 - 1.0 / max(k, 1)))
+    w = max(DEFAULT_WINDOW, min(n, w))
+    return max(128, (w // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("axis",))
@@ -107,9 +126,11 @@ def _build_window_query(m: int, n: int, k: int, window: int,
     num_groups = -(-m // g)
     m_pad = num_groups * g
     w = min(window, n)
-    # Spread budget: ~4x the expected reference span of g consecutive
-    # queries when query and reference distributions match, plus slack.
-    spread = min(n, 4 * (n * g) // max(m, 1) + 256)
+    # Spread budget: g consecutive order statistics of m uniform queries
+    # span ~n·g/m reference positions; 4x for slack. Meaningless for g=1
+    # (each query gets exactly its own window). For small m the spread
+    # formula degenerates toward n — callers should use g=1 there.
+    spread = 0 if g == 1 else min(n, 4 * (n * g) // max(m, 1) + 256)
     # 128-aligned for the lane-slot candidate reshape (callers guard n>=128).
     L = max(128, (min(n, w + spread) // 128) * 128)
 
@@ -204,8 +225,8 @@ def _build_window_query(m: int, n: int, k: int, window: int,
     return run
 
 
-def projection_knn(search, ref, *, window: int = DEFAULT_WINDOW,
-                   group: int = DEFAULT_GROUP, prebuilt=None):
+def projection_knn(search, ref, *, window: int | None = None,
+                   group: int | None = None, prebuilt=None):
     """Exact 1-NN via the projection index.
 
     Returns (idx (m,) i32, d2 (m,) f32) device arrays. `prebuilt` is the
@@ -218,6 +239,12 @@ def projection_knn(search, ref, *, window: int = DEFAULT_WINDOW,
     n = ref.shape[0]
     if n < 128:
         return fused_knn(search, ref)
+    if window is None:
+        window = auto_window(k, n)
+    if group is None:
+        # Small batches: one slice per query (its exact window, no spread
+        # waste); large sorted batches amortize slices across neighbors.
+        group = 1 if m <= 64 else DEFAULT_GROUP
     index = (prebuilt if prebuilt is not None
              else build_projection_index(ref))
     run = _build_window_query(m, n, k, window, group)
