@@ -34,16 +34,21 @@ the smallest ORIGINAL reference index (the sort permutation is carried
 alongside); the strict ">" bound means tied points can never be outside
 the window.
 
-Performance status (docs/PERF_NOTES.md): correct and certified
-everywhere, but on this stack every XLA building block it needs is
-10-100x off its hardware cost — `lax.scan` steps ~0.3 ms, a 262144-row
-dynamic_slice ~3 ms in ANY layout, window gathers ~55 rows/us — so it
-loses to the brute-force fused kernel at every measured shape. The
-pairs-count asymptotics favor it strongly (O(m·w) vs O(m·n), w ~
-4·n^(1-1/k)); the planned fix is a Pallas PrefetchScalarGridSpec kernel
-whose r-block index map reads per-query window starts, replacing scan +
-dynamic_slice with the same double-buffered DMA streaming the fused
-kernel enjoys.
+Two engines:
+
+- "pallas" (default): a PrefetchScalarGridSpec kernel — the per-query
+  window start is a scalar-prefetch operand consumed by the reference
+  BlockSpec's index map, so each (query, window-tile) grid step DMAs
+  exactly the slice it needs. Measured 1.1 ms for a small batch at
+  (k=3, n=2^24) vs the fused full scan's 5.0 ms — the sub-linear win is
+  real. (The XLA "scan" engine is kept as a cross-check: its building
+  blocks — lax.scan steps, dynamic_slice, gathers — each run 10-100x off
+  hardware cost on this stack.)
+- Caveat: `projection_knn`'s certification decision (`bool(all(ok))`)
+  costs one device→host sync per call — microseconds on a real TPU host,
+  ~25 ms on this dev environment's tunnel. Pipelined servers should use
+  the raw runner (`_build_pallas_window_query(...)` → (idx, d2, ok)) and
+  resolve fallbacks asynchronously.
 """
 
 from __future__ import annotations
@@ -53,10 +58,15 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tpu_knn.engine.registry import register_version
 from tpu_knn.kernels.fused import _I32_MAX, fused_knn
 from tpu_knn.utils.shapes import round_up
+
+#: Padding fill whose scores overflow to +inf (never wins).
+PAD_VALUE = 1e30
 
 DEFAULT_WINDOW = 4096
 
@@ -80,7 +90,10 @@ def auto_window(k: int, n: int) -> int:
 def build_projection_index(ref, axis: int | None = None):
     """Returns (ref_sorted (n,k), order (n,) i32, axis (scalar i32),
     proj (n,) f32 sorted projections, rnorm (n,) f32 sorted ‖r‖²,
-    inv_order (n,) i32 with inv_order[original] = sorted position).
+    inv_order (n,) i32 with inv_order[original] = sorted position,
+    r_pallas (k_pad, n_pad) f32 — the Pallas window kernel's augmented SoA
+    operand, built once here because per-call augmentation of the full
+    array costs tens of ms at n=2^24).
 
     axis: fixed split axis, or None to pick the max-variance one.
     """
@@ -89,15 +102,26 @@ def build_projection_index(ref, axis: int | None = None):
         d = jnp.argmax(var)
     else:
         d = jnp.int32(axis)
-    proj = jnp.take_along_axis(ref, jnp.broadcast_to(d, (ref.shape[0], 1)),
+    n, k = ref.shape
+    proj = jnp.take_along_axis(ref, jnp.broadcast_to(d, (n, 1)),
                                axis=1)[:, 0]
     order = jnp.argsort(proj, stable=True).astype(jnp.int32)
     ref_sorted = ref[order]
     rnorm = jnp.sum(ref_sorted * ref_sorted, axis=1)
-    n = ref.shape[0]
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
-    return ref_sorted, order, d, proj[order], rnorm, inv_order
+    # Pallas operand: [coords | ‖r‖² | zero pad] rows, transposed to SoA;
+    # padded columns score -inf (s' = q·r - inf/2) and can never win.
+    k_pad = round_up(k + 1, 8)
+    n_pad = round_up(n, TILE_W) + TILE_W
+    r_aug = jnp.concatenate([ref_sorted, rnorm[:, None]], axis=1)
+    r_aug = jnp.pad(r_aug, ((0, 0), (0, k_pad - k - 1)))
+    pad_rows = jnp.concatenate(
+        [jnp.full((n_pad - n, k), PAD_VALUE, jnp.float32),
+         jnp.full((n_pad - n, 1), jnp.inf, jnp.float32),
+         jnp.zeros((n_pad - n, k_pad - k - 1), jnp.float32)], axis=1)
+    r_pallas = jnp.concatenate([r_aug, pad_rows], axis=0).T
+    return ref_sorted, order, d, proj[order], rnorm, inv_order, r_pallas
 
 
 #: Queries per group in the grouped-window scan. Small groups keep the
@@ -135,7 +159,9 @@ def _build_window_query(m: int, n: int, k: int, window: int,
     L = max(128, (min(n, w + spread) // 128) * 128)
 
     @jax.jit
-    def run(search, ref_sorted, order, axis, proj, rnorm, inv_order):
+    def run(search, ref_sorted, order, axis, proj, rnorm, inv_order,
+            r_pallas=None):
+        del r_pallas  # the scan engine slices ref_sorted directly
         q_proj = jnp.take_along_axis(
             search, jnp.broadcast_to(axis, (m, 1)), axis=1)[:, 0]
         pos = jnp.searchsorted(proj, q_proj).astype(jnp.int32)
@@ -225,8 +251,128 @@ def _build_window_query(m: int, n: int, k: int, window: int,
     return run
 
 
+#: Pallas window kernel tile along the window axis.
+TILE_W = 4096
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pallas_window_query(m: int, n: int, k: int, window: int):
+    """Per-query window scan as ONE Pallas kernel.
+
+    The XLA composition (scan + dynamic_slice + gathers) pays 10-100x
+    hardware cost per step on this stack; here the per-query window start
+    is a scalar-prefetch operand consumed by the reference BlockSpec's
+    index map, so each (query i, window-tile j) grid step DMAs exactly the
+    (k_pad, TILE_W) slice it needs with the same double-buffered pipeline
+    the fused kernel enjoys. Per-lane fold + exact diff-form re-ranking
+    mirror the fused kernel's discipline; indices are in SORTED space
+    until the final order[] mapping.
+    """
+    from tpu_knn.kernels.fused import _fold_scores
+    from tpu_knn.utils.platform import interpret_mode
+
+    k_pad = round_up(k + 1, 8)  # extra contraction row carries ‖r‖²
+    n_pad = round_up(n, TILE_W) + TILE_W  # slack for start alignment
+    w_tiles = -(-min(window, n) // TILE_W) + 1
+
+    def kernel(tiles_ref, q_ref, r_ref, out_i_ref, best_s, best_i):
+        # q block = the query (augmented with a -0.5 slot against the ‖r‖²
+        # row, so s' = q·r − ‖r‖²/2 and HIGHER is nearer) replicated over 8
+        # sublanes — Mosaic rejects 1->8 sublane broadcasts in-kernel, so
+        # every score row is identical and row 0 carries the answer.
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            best_s[:] = jnp.full_like(best_s, -jnp.inf)
+            best_i[:] = jnp.full_like(best_i, _I32_MAX)
+
+        s = jax.lax.dot_general(
+            q_ref[:], r_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # (8, TILE_W)
+        base = (tiles_ref[pl.program_id(0)] + j) * TILE_W
+        cur_s, cur_i = _fold_scores(s, base, best_s[:], best_i[:],
+                                    maximize=True)
+        best_s[:] = cur_s
+        best_i[:] = cur_i
+
+        @pl.when(j == w_tiles - 1)
+        def _():
+            out_i_ref[:] = cur_i
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m, w_tiles),
+        in_specs=[
+            pl.BlockSpec((8, k_pad), lambda i, j, tiles: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, TILE_W), lambda i, j, tiles: (0, tiles[i] + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j, tiles: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.int32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8 * m, 128), jnp.int32),
+        interpret=interpret_mode(),
+    )
+
+    @jax.jit
+    def run(search, ref_sorted, order, axis, proj, rnorm, inv_order,
+            r_pallas):
+        q_proj = jnp.take_along_axis(
+            search, jnp.broadcast_to(axis, (m, 1)), axis=1)[:, 0]
+        pos = jnp.searchsorted(proj, q_proj, method="scan").astype(jnp.int32)
+        w = min(window, n)
+        start = jnp.clip(pos - w // 2, 0, max(n - w, 0))
+        tiles = (start // TILE_W).astype(jnp.int32)     # aligned-down
+        # Query augmented with the -0.5 norm slot, replicated over 8
+        # sublanes (see kernel comment).
+        q_col = jnp.full((m, 1), -0.5, jnp.float32)
+        q_aug = jnp.concatenate([search, q_col], axis=1)
+        q_aug = jnp.pad(q_aug, ((0, 0), (0, k_pad - k - 1)))
+        q_rep = jnp.repeat(q_aug, 8, axis=0)            # (8m, k_pad)
+        out = call(tiles, q_rep, r_pallas)              # (8m, 128)
+        cand_sorted = out.reshape(m, 8, 128)[:, 0, :]   # rows identical
+        # Exact diff-form re-ranking over candidates, tie-break on the
+        # ORIGINAL index (v0 semantics).
+        valid = cand_sorted < n
+        safe = jnp.where(valid, cand_sorted, 0)
+        pts = jnp.take(ref_sorted, safe.reshape(-1), axis=0).reshape(m, 128, k)
+        diff = search[:, None, :] - pts
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        orig = jnp.take(order, safe.reshape(-1)).reshape(m, 128)
+        v = jnp.min(d2, axis=1, keepdims=True)
+        tie = jnp.where(d2 == v, orig, _I32_MAX)
+        idx = jnp.min(tie, axis=1).astype(jnp.int32)
+        d_best = v[:, 0]
+        # Certification bound vs the points just outside the tile-aligned
+        # coverage [tiles*TILE_W, tiles*TILE_W + w_tiles*TILE_W).
+        lo = tiles * TILE_W
+        hi = lo + w_tiles * TILE_W
+        lp = jnp.where(lo >= 1, jnp.take(proj, jnp.maximum(lo - 1, 0)),
+                       -jnp.inf)
+        rp = jnp.where(hi < n, jnp.take(proj, jnp.minimum(hi, n - 1)),
+                       jnp.inf)
+        dl = q_proj - lp
+        dr = rp - q_proj
+        ok = (dl * dl > d_best) & (dr * dr > d_best)
+        return idx, d_best, ok
+
+    return run
+
+
 def projection_knn(search, ref, *, window: int | None = None,
-                   group: int | None = None, prebuilt=None):
+                   group: int | None = None, prebuilt=None,
+                   engine: str | None = None):
     """Exact 1-NN via the projection index.
 
     Returns (idx (m,) i32, d2 (m,) f32) device arrays. `prebuilt` is the
@@ -247,7 +393,12 @@ def projection_knn(search, ref, *, window: int | None = None,
         group = 1 if m <= 64 else DEFAULT_GROUP
     index = (prebuilt if prebuilt is not None
              else build_projection_index(ref))
-    run = _build_window_query(m, n, k, window, group)
+    if engine is None:
+        engine = "pallas"
+    if engine == "pallas":
+        run = _build_pallas_window_query(m, n, k, window)
+    else:
+        run = _build_window_query(m, n, k, window, group)
     idx, d2, ok = run(search, *index)
     if bool(jnp.all(ok)):
         return idx, d2
