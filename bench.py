@@ -158,6 +158,43 @@ def main():
         print(f"# ds11 prepared-index query: {ms:.3f} ms", file=sys.stderr,
               flush=True)
 
+        # v11 projection index, small-batch lookup niche: raw runner
+        # timing (the certification sync is a tunnel artifact; see
+        # kernels/projection.py docstring).
+        from tpu_knn.kernels.projection import (
+            _build_pallas_window_query, auto_window, build_projection_index,
+        )
+
+        kq = jax.random.fold_in(key, 102)
+        rv = jax.random.uniform(jax.random.fold_in(kq, 2), (1 << 24, 3),
+                                jnp.float32)
+        qv = jax.random.uniform(jax.random.fold_in(kq, 1), (16, 3),
+                                jnp.float32)
+        t0 = time.time()
+        pre = build_projection_index(rv)
+        jax.block_until_ready(pre)
+        v11_build_s = time.time() - t0
+        runner = _build_pallas_window_query(16, 1 << 24, 3,
+                                            auto_window(3, 1 << 24))
+        out = runner(qv, *pre)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _i in range(20):
+            out = runner(qv, *pre)
+        jax.block_until_ready(out)
+        v11_ms = (time.time() - t0) / 20 * 1e3
+        certified = int(jax.device_get(out[2]).sum())
+        details["rows"].append({
+            "name": "v11_window_16x1x2^24_k3",
+            "ms": round(v11_ms, 3),
+            "build_s": round(v11_build_s, 2),
+            "certified": f"{certified}/16",
+            "note": "projection window index, raw runner; fused full scan "
+                    "is ~5ms at this shape",
+        })
+        print(f"# v11 window (3,16,2^24): {v11_ms:.3f} ms "
+              f"(certified {certified}/16)", file=sys.stderr, flush=True)
+
         # KD-tree build/query split (reference README.md:334-343).
         kq = jax.random.fold_in(key, 101)
         rk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 2),
