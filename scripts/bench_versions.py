@@ -86,7 +86,9 @@ def main():
         "",
         "The analog of the reference README's version tables "
         "(README.md:281-291). Shapes: ds8=(3,1,2^24), ds9=(16,1,2^24), "
-        "ds10=(3,1024,2^20), ds11=(16,1024,2^20).",
+        "ds10=(3,1024,2^20), ds11=(16,1024,2^20). Single run; the dev "
+        "tunnel adds 30-100% run-to-run noise (bench.py best-of-2 numbers "
+        "in BENCH_DETAILS.json are the cleaner reference).",
         "",
         "| version | ds8 | ds9 | ds10 | ds11 |",
         "|---|---|---|---|---|",
