@@ -506,12 +506,13 @@ def fused_knn(search, ref, *, soa: bool = True,
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
     n = ref.shape[0]
-    if tile_m is None or tile_n is None:
-        tm, tn = pick_tiles(k, m, n, tile_m=tile_m)
-        tile_m = tile_m or tm
-        tile_n = tile_n or tn
     if precision is None:
         precision = auto_precision(k, n)
+    if tile_m is None or tile_n is None:
+        tm, tn = pick_tiles(k, m, n, tile_m=tile_m,
+                            wide=(precision == "packed"))
+        tile_m = tile_m or tm
+        tile_n = tile_n or tn
     run = _build_fused(m, n, k, tile_m, tile_n, soa, precision)
     return run(search, ref)
 

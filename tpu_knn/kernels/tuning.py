@@ -28,8 +28,14 @@ SCORE_TILE_BUDGET = 1 << 20
 MAX_TILE_N = 16384
 
 
-def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None) -> tuple[int, int]:
-    """Return (tile_m, tile_n) for the fused kernel."""
+def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None,
+               wide: bool = False) -> tuple[int, int]:
+    """Return (tile_m, tile_n) for the fused kernel.
+
+    wide: the caller's score matmul is the packed single-pass dot, whose
+    bf16 operands leave VMEM headroom for 2x wider score tiles (measured:
+    512x8192 compiles and wins ~6% at ds11; bf16x3's f32 temps OOM there).
+    """
     if tile_m is None:
         # Short n sweeps favor smaller tiles (measured: 256x1024 = 1.63 ms
         # vs 512x2048 = 1.92 ms at (16,1024,65536); the ordering flips at
@@ -38,6 +44,8 @@ def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None) -> tuple[int, 
         tile_m = min(cap, round_up(m, SUBLANE))
     # 256x1024 measured best for short sweeps -> quarter budget there.
     budget = SCORE_TILE_BUDGET // (4 if n <= (1 << 17) else 1)
+    if wide and n > (1 << 17):
+        budget *= 4
     tile_n = min(MAX_TILE_N, budget // tile_m)
     tile_n = min(tile_n, round_up(n, LANE))
     tile_n = max(LANE, (tile_n // LANE) * LANE)
