@@ -58,15 +58,17 @@ def test_exact_duplicate_beats_near_tie():
 
 def test_ragged_group_padding_keeps_bound():
     """m not a multiple of the group size: padded slots must not drag the
-    last group's slice anchor to position 0 (edge padding)."""
+    last group's slice anchor to position 0 (edge padding). Must target
+    the SCAN engine explicitly — the default pallas engine has no groups."""
     rng = np.random.default_rng(8)
     ref = rng.random((50_000, 3), np.float32)
     q = rng.random((100, 3), np.float32)  # 100 % 8 != 0
-    idx, _ = projection_knn(q, ref, window=2048)
+    idx, _ = projection_knn(q, ref, window=2048, group=8, engine="scan")
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
 
 
-def test_per_query_fallback_merge():
+@pytest.mark.parametrize("engine", ["pallas", "scan"])
+def test_per_query_fallback_merge(engine):
     """Queries with failing bounds get fused answers; certified ones keep
     window answers — the merge must be exact for both populations."""
     rng = np.random.default_rng(9)
@@ -74,7 +76,16 @@ def test_per_query_fallback_merge():
     # Outlier queries beyond the data range have huge d_best -> bound fails.
     q = np.concatenate([rng.random((8, 3)), 5.0 + rng.random((8, 3))]
                        ).astype(np.float32)
-    idx, _ = projection_knn(q, ref, window=1024)
+    idx, _ = projection_knn(q, ref, window=1024, engine=engine)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+@pytest.mark.parametrize("engine", ["pallas", "scan"])
+def test_engines_match_oracle(engine):
+    rng = np.random.default_rng(10)
+    ref = rng.random((40_000, 4), np.float32)
+    q = rng.random((32, 4), np.float32)
+    idx, d2 = projection_knn(q, ref, engine=engine)
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
 
 

@@ -470,26 +470,35 @@ def _build_fused(m: int, n: int, k: int,
     return run
 
 
-def _refine(search, ref, cand, n):
-    """Exact selection over per-lane candidates.
+def _exact_rerank(search, src, cand, n_valid, tie_src=None):
+    """Exact diff-form selection over a candidate set.
 
-    cand: (m, 128) int32 candidate reference indices (I32_MAX = empty).
-    Recomputes f32 diff-form squared distances for every candidate and
-    picks the minimum, breaking exact ties to the lowest reference index —
-    v0's semantics (core.cu:50-54) at diff-form conditioning.
-
-    Returns (idx (m,) i32, d2 (m,) f32 true squared distance).
+    search: (..., k) queries; src: (N, k) points gathered by `cand`
+    (..., C) indices; entries >= n_valid are masked out. Ties on the exact
+    squared distance break to the smallest reported index — `cand` itself,
+    or `tie_src[cand]` when `tie_src` maps src positions to external ids
+    (e.g. sorted position -> original index) — v0's lowest-index semantics
+    (core.cu:50-54) at diff-form conditioning.
+    Returns (idx (...,) i32 reported ids, d2 (...,) f32).
     """
-    valid = cand < n
+    valid = cand < n_valid
     safe = jnp.where(valid, cand, 0)
-    r_g = jnp.take(ref, safe, axis=0)               # (m, 128, k)
-    diff = search[:, None, :] - r_g
-    d2 = jnp.sum(diff * diff, axis=-1)              # (m, 128) f32 exact-form
+    pts = jnp.take(src, safe.reshape(-1), axis=0)
+    pts = pts.reshape(*cand.shape, src.shape[1])
+    diff = search[..., None, :] - pts
+    d2 = jnp.sum(diff * diff, axis=-1)              # (..., C) f32 exact-form
     d2 = jnp.where(valid, d2, jnp.inf)
-    v = jnp.min(d2, axis=1, keepdims=True)
-    tie = jnp.where(d2 == v, safe, _I32_MAX)
-    idx = jnp.min(tie, axis=1).astype(jnp.int32)    # lowest index among ties
-    return idx, v[:, 0]
+    t = safe if tie_src is None else jnp.take(tie_src, safe.reshape(-1)
+                                              ).reshape(safe.shape)
+    v = jnp.min(d2, axis=-1, keepdims=True)
+    tie = jnp.where((d2 == v) & valid, t, _I32_MAX)
+    idx = jnp.min(tie, axis=-1).astype(jnp.int32)   # lowest index among ties
+    return idx, jnp.squeeze(v, -1)
+
+
+def _refine(search, ref, cand, n):
+    """Exact selection over per-lane candidates (see _exact_rerank)."""
+    return _exact_rerank(search, ref, cand, n)
 
 
 def fused_knn(search, ref, *, soa: bool = True,
@@ -508,9 +517,13 @@ def fused_knn(search, ref, *, soa: bool = True,
     n = ref.shape[0]
     if precision is None:
         precision = auto_precision(k, n)
+    # Wide tiles require the packed dot to ACTUALLY fit (an explicit
+    # precision='packed' with k>32 silently falls back to bf16x3 in
+    # _qr_dot, whose f32 temps OOM at wide tiles).
+    packed_fits = _packed_terms(round_up(k, 8))[0] != 0
     if tile_m is None or tile_n is None:
         tm, tn = pick_tiles(k, m, n, tile_m=tile_m,
-                            wide=(precision == "packed"))
+                            wide=(precision == "packed" and packed_fits))
         tile_m = tile_m or tm
         tile_n = tile_n or tn
     run = _build_fused(m, n, k, tile_m, tile_n, soa, precision)

@@ -34,6 +34,16 @@ the smallest ORIGINAL reference index (the sort permutation is carried
 alongside); the strict ">" bound means tied points can never be outside
 the window.
 
+Exactness fine print: candidate SELECTION inside the window uses f32
+norm-trick scores per 128-lane slot before the exact re-rank, so a true
+NN sharing a lane slot with a near-tie inside the score's rounding error
+(~1e-7 relative, squared space) can be evicted — an error of at most
+sqrt(score_err) in distance, orders of magnitude inside the reference's
+±1e-3 gate, and undetectable by the projection bound (which certifies
+against OUT-of-window points only). The fused kernel makes the same
+trade (docs/PERF_NOTES.md); exact duplicates still produce identical
+scores and exact ties.
+
 Two engines:
 
 - "pallas" (default): a PrefetchScalarGridSpec kernel — the per-query
@@ -210,15 +220,10 @@ def _build_window_query(m: int, n: int, k: int, window: int,
             slot = jnp.argmin(s_c, axis=1)                  # (g, 128)
             lane = jnp.arange(128, dtype=jnp.int32)[None, :]
             cand_col = slot.astype(jnp.int32) * 128 + lane  # (g, 128)
-            cand_pts = jnp.take(win, cand_col.reshape(-1), axis=0)
-            cand_pts = cand_pts.reshape(g, 128, k)
-            diff = q_grp[:, None, :] - cand_pts
-            d2 = jnp.sum(diff * diff, axis=-1)              # (g, 128) exact
-            cand_orig = jnp.take(ord_win, cand_col.reshape(-1)).reshape(g, 128)
-            v = jnp.min(d2, axis=1, keepdims=True)
-            tie = jnp.where(d2 == v, cand_orig, _I32_MAX)
-            idx = jnp.min(tie, axis=1).astype(jnp.int32)
-            d_best = v[:, 0]
+            from tpu_knn.kernels.fused import _exact_rerank
+
+            idx, d_best = _exact_rerank(q_grp, win, cand_col, L,
+                                        tie_src=ord_win)
             # Per-query exactness bound against the slice edges: points
             # outside the slice must be strictly farther in projection.
             lp = jnp.where(start >= 1,
@@ -341,19 +346,12 @@ def _build_pallas_window_query(m: int, n: int, k: int, window: int):
         q_rep = jnp.repeat(q_aug, 8, axis=0)            # (8m, k_pad)
         out = call(tiles, q_rep, r_pallas)              # (8m, 128)
         cand_sorted = out.reshape(m, 8, 128)[:, 0, :]   # rows identical
-        # Exact diff-form re-ranking over candidates, tie-break on the
-        # ORIGINAL index (v0 semantics).
-        valid = cand_sorted < n
-        safe = jnp.where(valid, cand_sorted, 0)
-        pts = jnp.take(ref_sorted, safe.reshape(-1), axis=0).reshape(m, 128, k)
-        diff = search[:, None, :] - pts
-        d2 = jnp.sum(diff * diff, axis=-1)
-        d2 = jnp.where(valid, d2, jnp.inf)
-        orig = jnp.take(order, safe.reshape(-1)).reshape(m, 128)
-        v = jnp.min(d2, axis=1, keepdims=True)
-        tie = jnp.where(d2 == v, orig, _I32_MAX)
-        idx = jnp.min(tie, axis=1).astype(jnp.int32)
-        d_best = v[:, 0]
+        # Exact diff-form re-ranking over candidates, reporting/tying on
+        # the ORIGINAL index (v0 semantics).
+        from tpu_knn.kernels.fused import _exact_rerank
+
+        idx, d_best = _exact_rerank(search, ref_sorted, cand_sorted, n,
+                                    tie_src=order)
         # Certification bound vs the points just outside the tile-aligned
         # coverage [tiles*TILE_W, tiles*TILE_W + w_tiles*TILE_W).
         lo = tiles * TILE_W
