@@ -97,3 +97,16 @@ def test_precision_modes_match_oracle(precision):
     errors, total = check_results(oracle(search, ref), np.asarray(idx),
                                   search, ref)
     assert errors == 0, f"{precision}: {errors}/{total}"
+
+
+def test_k_above_packed_limit_multi_pass_ladder():
+    """k=40 exceeds the packed-contraction capacity (4*k_pad > 128): the
+    multi-pass bf16 ladder takes over and must still hold the gate."""
+    from tpu_knn.kernels.fused import auto_precision
+
+    assert auto_precision(40, 1 << 16) == "bf16x3"
+    rng = np.random.default_rng(11)
+    ref = rng.random((20_000, 40), np.float32)
+    search = rng.random((8, 40), np.float32)
+    run_gate("v4", search, ref)
+    run_gate("v2", search, ref)
