@@ -19,8 +19,17 @@ import time
 
 import numpy as np
 
-# (name, k, m, n, reference_ms, reference_hw)
+# (name, k, m, n, reference_ms, reference_hw) — all 8 TA datasets
+# (reference README.md:274-276, v8 on 1x V100) plus the 4 custom large
+# shapes (README.md:281-291, v8 on 4x V100). BASELINE.md has the table.
 SHAPES = [
+    ("ds0", 3, 1, 2, 0.929, "1x V100 (v8->v7)"),
+    ("ds1", 3, 2, 8, 0.620, "1x V100 (v8->v7)"),
+    ("ds2", 3, 1, 1024, 0.600, "1x V100 (v8->v7)"),
+    ("ds3", 3, 1, 65536, 1.832, "1x V100 (v8->v7)"),
+    ("ds4", 16, 1, 65536, 3.294, "1x V100 (v8->v7)"),
+    ("ds5", 3, 1024, 1024, 0.403, "1x V100 (v8->v7)"),
+    ("ds6", 3, 1024, 65536, 0.925, "1x V100 (v8->v7)"),
     ("ds7", 16, 1024, 65536, 2.689, "1x V100 (v7/v8)"),
     ("ds8", 3, 1, 1 << 24, 25.650, "4x V100 (v8)"),
     ("ds9", 16, 1, 1 << 24, 100.346, "4x V100 (v8)"),
@@ -29,6 +38,36 @@ SHAPES = [
 ]
 
 HEADLINE = "ds11"
+
+
+def device_gate_vs_v2(q, r, idx) -> tuple:
+    """On-device differential correctness gate for shapes too large to read
+    back (the tunnel's D2H runs ~30 MB/s): cross-check the fused answer
+    against v2's independent streaming-scan path, applying the harness
+    tolerance rule (reference main.cu:88-95 — index equality, else true
+    sqrt distances within ±1e-3) entirely on device; only the error count
+    crosses the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_knn.kernels.twophase import V2_CHUNK, _v2_argmin
+
+    n = r.shape[0]
+    chunk = min(V2_CHUNK, n)
+    assert n % chunk == 0, "bench shapes are power-of-two n"
+    i2 = _v2_argmin(q, r, n, chunk)
+
+    @jax.jit
+    def count_errors(idx, i2):
+        def true_d(i):
+            diff = q - jnp.take(r, i, axis=0)
+            return jnp.sqrt(jnp.sum(diff * diff, axis=1))
+
+        ok = (idx == i2) | (jnp.abs(true_d(idx) - true_d(i2)) <= 1e-3)
+        return jnp.sum(~ok)
+
+    errors = int(jax.device_get(count_errors(idx, i2)))
+    return errors, int(q.shape[0])
 
 
 def main():
@@ -52,6 +91,16 @@ def main():
     print(f"# warmup done in {warm_s:.1f}s", file=sys.stderr, flush=True)
 
     shapes = SHAPES if on_tpu else [("tiny", 8, 32, 4096, None, None)]
+    # Dev knob: TPU_KNN_BENCH_ONLY=ds9,ds11 restricts the shape list (and
+    # skips the extras) for quick iteration; the driver runs the full set.
+    import os
+
+    only = os.environ.get("TPU_KNN_BENCH_ONLY")
+    extras = True
+    if only:
+        wanted = set(only.split(","))
+        shapes = [s for s in shapes if s[0] in wanted]
+        extras = False
     key = jax.random.PRNGKey(0)
     details = {
         "backend": backend,
@@ -79,7 +128,12 @@ def main():
         print(f"# {name}: compiled in {compile_s:.1f}s, timing...",
               file=sys.stderr, flush=True)
 
-        reps = 20 if m * n <= (1 << 30) else 10
+        if m * n <= (1 << 26):
+            reps = 50
+        elif m * n <= (1 << 30):
+            reps = 20
+        else:
+            reps = 10
         ms = float("inf")
         for _trial in range(2):  # best-of-2: the tunnel adds run noise
             t0 = time.time()
@@ -87,6 +141,18 @@ def main():
                 idx, d2 = fused_knn(q, r)
             idx.block_until_ready()
             ms = min(ms, (time.time() - t0) / reps * 1e3)
+
+        # Cold-dispatch variant for the latency-bound TA shapes: one
+        # isolated dispatch+sync, which over the axon tunnel includes a
+        # host round trip (~1-3 ms floor) the pipelined number amortizes.
+        dispatch_ms = None
+        if m * n <= (1 << 26):
+            dispatch_ms = float("inf")
+            for _i in range(5):
+                t0 = time.time()
+                idx, d2 = fused_knn(q, r)
+                idx.block_until_ready()
+                dispatch_ms = min(dispatch_ms, (time.time() - t0) * 1e3)
 
         row = {
             "name": name,
@@ -100,12 +166,14 @@ def main():
             # distance+argmin FLOPs (2*m*n*k for the matmul form)
             "tflops_effective": round(2 * m * n * k / (ms / 1e3) / 1e12, 3),
         }
+        if dispatch_ms is not None:
+            row["dispatch_ms"] = round(dispatch_ms, 3)
 
-        # Correctness gate vs the native oracle where readback is cheap
-        # (the tunnel's D2H runs ~30 MB/s; n=2^24 shapes are gated by the
-        # test suite instead).
+        # Correctness gate on the measured data, every row: host oracle
+        # where readback is cheap (the tunnel's D2H runs ~30 MB/s), the
+        # on-device v2 differential gate for the n=2^24 shapes.
+        print(f"# {name}: correctness gate...", file=sys.stderr, flush=True)
         if n <= (1 << 20):
-            print(f"# {name}: correctness gate...", file=sys.stderr, flush=True)
             qn = np.asarray(q)
             rn = np.asarray(r)
             try:
@@ -117,11 +185,14 @@ def main():
 
                 base_idx = oracle_knn(qn, rn)
             errors, total = check_results(base_idx, np.asarray(idx), qn, rn)
-            row["errors"] = f"{errors}/{total}"
-            if errors:
-                print(f"CORRECTNESS FAILURE on {name}: {errors}/{total}",
-                      file=sys.stderr)
-                sys.exit(1)
+        else:
+            errors, total = device_gate_vs_v2(q, r, idx)
+            row["gate"] = "on-device v2 differential"
+        row["errors"] = f"{errors}/{total}"
+        if errors:
+            print(f"CORRECTNESS FAILURE on {name}: {errors}/{total}",
+                  file=sys.stderr)
+            sys.exit(1)
         details["rows"].append(row)
         print(f"# {name} ({k},{m},{n}): {ms:.3f} ms  "
               f"ref={base_ms} ({base_hw})  {row.get('errors', '')}",
@@ -131,7 +202,7 @@ def main():
             headline_base = base_ms
 
     # Serving mode: prepared index (layout paid once) on the headline shape.
-    if on_tpu:
+    if on_tpu and extras:
         from tpu_knn.engine.index import NNIndex
 
         k, m, n = 16, 1024, 1 << 20
@@ -195,6 +266,37 @@ def main():
         print(f"# v11 window (3,16,2^24): {v11_ms:.3f} ms "
               f"(certified {certified}/16)", file=sys.stderr, flush=True)
 
+        # Production dispatch path: NNIndex auto-strategy routes this
+        # niche batch to the projection pipeline (cert-rate probe at
+        # build, per-batch cost model, on-device lax.cond fallback — no
+        # host certification sync). The honest end-to-end serving number.
+        index = NNIndex(rv, strategy="auto")
+        routed = None
+        if index.proj_index is not None:
+            ia, da = index.query(qv)
+            jax.block_until_ready(ia)
+            routed = index.last_strategy
+            t0 = time.time()
+            for _i in range(20):
+                ia, da = index.query(qv)
+            jax.block_until_ready(ia)
+            auto_ms = (time.time() - t0) / 20 * 1e3
+            # On-device differential gate (v2 independent path) — reading
+            # back the 2^24-row reference costs ~7 s over the tunnel.
+            errors16, total16 = device_gate_vs_v2(qv, rv, ia)
+            details["rows"].append({
+                "name": "v11_auto_index_16x2^24_k3",
+                "ms": round(auto_ms, 3),
+                "routed": routed,
+                "cert_rate_probe": round(index.cert_rate, 3),
+                "errors": f"{errors16}/{total16}",
+                "note": "NNIndex(strategy=auto).query — production "
+                        "dispatch reaches v11 in its niche",
+            })
+            print(f"# v11 auto-index (3,16,2^24): {auto_ms:.3f} ms "
+                  f"routed={routed} errors {errors16}/{total16}",
+                  file=sys.stderr, flush=True)
+
         # KD-tree build/query split (reference README.md:334-343).
         kq = jax.random.fold_in(key, 101)
         rk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 2),
@@ -219,6 +321,36 @@ def main():
         })
         print(f"# kdtree (3,1024,65536): build {kd_build_ms:.1f} ms, "
               f"query {kd_query_ms:.2f} ms", file=sys.stderr, flush=True)
+
+        # v10 device traversal: committed capability-demo row (VERDICT
+        # round 1 item 4). Divergent per-query tree descent is anti-TPU;
+        # this row is the evidence for why dispatch and NNIndex never
+        # select it (docs/PARITY.md "v10 decision").
+        from tpu_knn.kdtree.build import build_kdtree
+        from tpu_knn.kdtree.traversal import DeviceKDTree
+
+        dev_tree = DeviceKDTree(build_kdtree(rk))
+        qd = jnp.asarray(qk)
+        iv, dv = dev_tree.query(qd)
+        jax.block_until_ready(iv)
+        t0 = time.time()
+        for _i in range(2):
+            iv, dv = dev_tree.query(qd)
+        jax.block_until_ready(iv)
+        v10_ms = (time.time() - t0) / 2 * 1e3
+        errs_v10 = int(np.sum(np.asarray(iv) != np.asarray(ik)))
+        details["rows"].append({
+            "name": "v10_device_traversal_3x1024x65536",
+            "query_ms": round(v10_ms, 3),
+            "errors_vs_native_kdtree": f"{errs_v10}/1024",
+            "note": "capability demo only — never selected by dispatch "
+                    "(divergent traversal is anti-TPU; v11 is the "
+                    "TPU-native spatial index)",
+            "reference": "v10 query 0.433ms on 1x V100 (README.md:338-343)",
+        })
+        print(f"# v10 device traversal (3,1024,65536): {v10_ms:.1f} ms "
+              f"({errs_v10}/1024 vs native kdtree)", file=sys.stderr,
+              flush=True)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -55,3 +55,66 @@ def test_ragged_n_fused_index():
     q = rng.random((9, 5), np.float32)
     idx, _ = index.query(q)
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_auto_strategy_probes_and_serves_correctly():
+    """strategy="auto" (v11 wired into production serving, VERDICT round 1
+    item 5): the build-time probe measures the certification rate on
+    uniform data (should be high at k=3) and batch routing picks the
+    projection pipeline exactly where its cost model wins."""
+    from tpu_knn.kernels import projection as proj_mod
+
+    rng = np.random.default_rng(3)
+    ref = rng.random((20_000, 3), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.cert_rate >= 0.9, index.cert_rate
+    assert index.proj_index is not None
+
+    # Below the niche's n floor the cost model keeps batches on fused.
+    q = rng.random((8, 3), np.float32)
+    idx, _ = index.query(q)
+    assert index.last_strategy == "fused"
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+    # In-niche shapes route to the projection pipeline (checked against
+    # the cost model directly; n=2^20 on the interpreted CPU backend is
+    # too slow to run here — bench.py carries the on-TPU evidence).
+    assert proj_mod.projection_wins(3, 16, 1 << 24)
+    assert proj_mod.projection_wins(3, 1, 1 << 20)
+    assert not proj_mod.projection_wins(16, 16, 1 << 24)   # bound useless
+    assert not proj_mod.projection_wins(3, 1024, 1 << 24)  # batch too big
+
+
+def test_auto_strategy_high_k_disables_projection():
+    rng = np.random.default_rng(4)
+    ref = rng.random((5_000, 16), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.proj_index is None
+    q = rng.random((4, 16), np.float32)
+    idx, _ = index.query(q)
+    assert index.last_strategy == "fused"
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_auto_strategy_projection_route_small_n():
+    """Drive the projection route itself (cost model overridden so the
+    interpreted backend can afford it): answers must match the oracle and
+    the cond-fallback pipeline must be the path taken."""
+    from tpu_knn.kernels import projection as proj_mod
+
+    rng = np.random.default_rng(5)
+    ref = rng.random((50_000, 3), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.proj_index is not None
+    orig = proj_mod.projection_wins
+    proj_mod.projection_wins = lambda k, m, n: m <= 64
+    try:
+        q = rng.random((16, 3), np.float32)
+        idx, d2 = index.query(q)
+        assert index.last_strategy == "projection"
+        np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+        np.testing.assert_allclose(
+            np.asarray(d2), np.sum((q - ref[np.asarray(idx)]) ** 2, axis=1),
+            rtol=1e-6)
+    finally:
+        proj_mod.projection_wins = orig

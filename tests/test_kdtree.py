@@ -134,3 +134,22 @@ def test_kdtree_save_load(tmp_path):
     q = rng.random((10, 4), np.float32)
     idx, _ = DeviceKDTree(loaded).query(q)
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+def test_v10_never_selected_by_dispatch():
+    """v10 decision (docs/PARITY.md): the device traversal is a capability
+    demo — production dispatch must never reach it, and the kdtree serving
+    index must prefer the native CPU query when available (it wins by ~3
+    orders of magnitude; bench.py carries the committed evidence row)."""
+    from tpu_knn import native
+    from tpu_knn.engine.index import NNIndex
+    from tpu_knn.engine.registry import PREFERENCE_ORDER
+
+    assert "v10" not in PREFERENCE_ORDER
+    assert "v9" not in PREFERENCE_ORDER
+
+    if native.available():
+        rng = np.random.default_rng(9)
+        index = NNIndex(rng.random((4096, 3), np.float32), strategy="kdtree")
+        assert index.use_native_query
+        assert index.dev_tree is None

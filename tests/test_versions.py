@@ -116,3 +116,27 @@ def test_v1_fallback_to_v2_on_huge_matrix():
     assert v1.guard is not None
     assert not v1.guard(3, 1 << 15, 1 << 15)  # 2^30 > 2^28 elems
     assert v1.guard(3, 1024, 65536)
+
+
+def test_v5_guard_delegates_wide_k_to_v4():
+    """v5's explicit double-buffer scratch must fit scoped VMEM; wide k at
+    the autotuned tile_n exceeds the budget and the dispatcher delegates to
+    v4 (reference v5->v4 texture-limit fallback, core.cu:481-485)."""
+    from tpu_knn.engine.registry import get_version
+    from tpu_knn.kernels.dma_pipeline import _v5_guard
+
+    assert _v5_guard(3, 1024, 65536)       # normal shapes stay on v5
+    assert _v5_guard(16, 1024, 1 << 20)
+    assert not _v5_guard(2048, 8, 4096)    # 2x(2048x4096)x4B = 64 MB scratch
+
+    # The delegation itself: v5 on a wide-k problem returns v4's (correct)
+    # answer rather than attempting the oversized scratch allocation.
+    rng = np.random.default_rng(55)
+    k, m, n = 2048, 4, 32768
+    assert not _v5_guard(k, m, n)
+    search = rng.random((m, k), np.float32)
+    ref = rng.random((n, k), np.float32)
+    got = get_version("v5")(k, m, n, search, ref)
+    want = oracle_callback(k, m, n, search, ref)
+    errors, total = check_results(want, got, search, ref)
+    assert errors == 0

@@ -13,6 +13,15 @@ Strategies:
 - "fused":   reference set uploaded once and kept device-resident in the
              SoA (k_pad, n_pad) layout the Pallas kernel wants; queries
              skip the per-call pad+transpose entirely.
+- "auto":    fused preparation always; additionally builds the projection
+             index when the v11 niche applies (k <= 8) AND a build-time
+             probe of the certification bound's hit rate on synthetic
+             in-distribution queries clears 90%. Each query batch then
+             routes to the projection window pipeline where its cost
+             model wins (small m, large n), falling back to the fused
+             scan per batch otherwise — the "best version per regime"
+             dispatcher philosophy (reference core.cu:1282-1297) applied
+             at serving time, where the index build is already paid.
 - "kdtree":  host KD-tree built once; implicit-heap arrays device-resident;
              batched TPU traversal per query batch (k <= 8), native CPU
              query otherwise.
@@ -64,7 +73,12 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
 class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
                  precision: str | None = None):
-        ref = np.ascontiguousarray(ref, np.float32)
+        # Device-only strategies take `ref` as-is (a jax array stays on
+        # device — no host round trip, which costs seconds over the dev
+        # tunnel at n=2^24); host-side builds (kdtree, sharded pre-pad)
+        # need a contiguous NumPy copy.
+        if strategy in ("kdtree", "sharded") or isinstance(ref, np.ndarray):
+            ref = np.ascontiguousarray(ref, np.float32)
         self.n, self.k = ref.shape
         self.strategy = strategy
         if precision is None:
@@ -72,7 +86,7 @@ class NNIndex:
 
             precision = auto_precision(self.k, self.n)
         self.precision = precision
-        if strategy == "fused":
+        if strategy in ("fused", "auto"):
             # tile_n is fixed at prepare time; pick for a large-batch query
             # and reuse (the n padding must match the kernel's tiling).
             _, self.tile_n = pick_tiles(self.k, 1024, self.n)
@@ -81,13 +95,19 @@ class NNIndex:
             builder = _build_fused_candidates(8, self.n, self.k, 8,
                                               self.tile_n, soa=True,
                                               precision=precision)
-            self.ref_dev = jnp.asarray(ref)  # AoS copy for exact refinement
+            self.ref_dev = jnp.asarray(ref, jnp.float32)  # AoS copy for exact refinement
             self.r_ops = jax.jit(builder.prep_soa)(self.ref_dev)
             jax.block_until_ready(self.r_ops)
+            if strategy == "auto":
+                self.proj_index = None
+                self.cert_rate = 0.0
+                self.last_strategy = None
+                if self.k <= 8 and self.n >= 128:
+                    self._probe_projection()
         elif strategy == "projection":
             from tpu_knn.kernels.projection import build_projection_index
 
-            self.ref_dev = jnp.asarray(ref)
+            self.ref_dev = jnp.asarray(ref, jnp.float32)
             self.proj_index = build_projection_index(self.ref_dev)
             jax.block_until_ready(self.proj_index)
         elif strategy == "kdtree":
@@ -124,6 +144,33 @@ class NNIndex:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
+    #: Certification hit rate the build-time probe must clear for "auto"
+    #: to enable projection serving.
+    CERT_RATE_MIN = 0.9
+
+    def _probe_projection(self):
+        """Build the projection index and estimate the certification
+        bound's hit rate with synthetic in-distribution probes: midpoints
+        of projection-adjacent reference pairs (representative local
+        geometry WITHOUT d=0 self-matches, which would certify trivially).
+        A low rate leaves projection disabled — queries serve fused."""
+        from tpu_knn.kernels.projection import (
+            auto_window, build_projection_index, _build_pallas_window_query,
+        )
+
+        proj_index = build_projection_index(self.ref_dev)
+        ref_sorted = proj_index[0]
+        n_probe = min(64, self.n // 2)
+        step = max(1, (self.n - 1) // n_probe)
+        pos = np.arange(n_probe) * step
+        probes = (ref_sorted[pos] + ref_sorted[pos + 1]) * 0.5
+        window = auto_window(self.k, self.n)
+        run = _build_pallas_window_query(n_probe, self.n, self.k, window)
+        _idx, _d2, ok = run(jnp.asarray(probes), *proj_index)
+        self.cert_rate = float(np.asarray(jax.device_get(ok)).mean())
+        if self.cert_rate >= self.CERT_RATE_MIN:
+            self.proj_index = proj_index
+
     def query(self, search):
         """search (m, k) -> (idx (m,) i32, d2 (m,) f32) arrays (device
         arrays for device strategies; host arrays from the CPU-native
@@ -140,7 +187,21 @@ class NNIndex:
                 self.tree.p, self.tree.dim)
             return idx, d2
         search = jnp.asarray(search, jnp.float32)
-        if self.strategy == "fused":
+        if self.strategy in ("fused", "auto"):
+            if self.strategy == "auto":
+                from tpu_knn.kernels.projection import (
+                    auto_window, projection_wins, _build_projection_pipeline,
+                )
+
+                if (self.proj_index is not None
+                        and projection_wins(self.k, m, self.n)):
+                    self.last_strategy = "projection"
+                    run = _build_projection_pipeline(
+                        m, self.n, self.k, auto_window(self.k, self.n))
+                    idx, d2, _ok = run(search, self.ref_dev,
+                                       *self.proj_index)
+                    return idx, d2
+                self.last_strategy = "fused"
             tile_m, _ = pick_tiles(self.k, m, self.n)
             run = _build_prepared_query(m, self.n, self.k, tile_m,
                                         self.tile_n, self.precision)

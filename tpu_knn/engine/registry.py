@@ -91,10 +91,12 @@ def _ensure_builtins() -> None:
     ):
         try:
             importlib.import_module(mod)
-        except ImportError:
-            # Module not built yet (incremental construction) — the versions
-            # it would register are simply absent.
-            pass
+        except ImportError as e:
+            # Only "module not built yet" (incremental construction) may be
+            # suppressed; a genuine import bug INSIDE a version module (typo,
+            # missing dep) must fail loudly, not silently unregister it.
+            if e.name is None or not mod.startswith(e.name):
+                raise
 
 
 def get_version(name: str) -> Version:

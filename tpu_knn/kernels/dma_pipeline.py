@@ -10,10 +10,13 @@ the current tile's MXU/VPU work — the manual version of the pipeline the
 v4 BlockSpecs get from the Pallas runtime.
 
 Like the reference's v5 (which falls back to v4 when n exceeds the texture
-width limit, core.cu:481-485), this version guards on its own constraint —
-the n axis must be padded to the tile size before entering the kernel —
-and falls back to v4 otherwise (handled in the wrapper by padding, so the
-registered guard only excludes degenerate n).
+width limit, core.cu:481-485), this version guards on its own hard
+constraint: the double-buffered (k_pad, tile_n) staging slices plus the
+resident query tile, score tile, and running (score, index) pair are all
+explicit VMEM scratch allocated up front, so their total must fit the
+scoped-VMEM budget. Wide k at the autotuned tile_n exceeds it; the guard
+computes the same tile geometry the wrapper would use and delegates to v4
+when the allocation would not fit.
 
 Compute and reduction are shared with v4 (same _score_tile, _fold_scores,
 exact _refine), so v4 and v5 differentially test each other's data paths.
@@ -124,6 +127,20 @@ def _build_dma(m: int, n: int, k: int, tile_m: int, tile_n: int,
     return run
 
 
+def _dma_tiles(k: int, m: int, n: int) -> tuple[int, int]:
+    """v5's own tile policy: wide staging slices are the point of the
+    manual pipeline (bandwidth-bound streaming), so tile_n is NOT shrunk
+    for wide k the way pick_tiles does for the runtime-managed kernels —
+    the guard below delegates to v4 when the resulting explicit scratch
+    would not fit scoped VMEM."""
+    from tpu_knn.kernels.tuning import MAX_TILE_N, SCORE_TILE_BUDGET
+
+    tile_m, _ = pick_tiles(k, m, n)
+    budget = SCORE_TILE_BUDGET // (4 if n <= (1 << 17) else 1)
+    tile_n = min(MAX_TILE_N, budget // tile_m, round_up(n, 128))
+    return tile_m, max(128, (tile_n // 128) * 128)
+
+
 def dma_knn(search, ref, *, tile_m: int | None = None,
             tile_n: int | None = None, precision: str | None = None):
     search = jnp.asarray(search, jnp.float32)
@@ -131,7 +148,7 @@ def dma_knn(search, ref, *, tile_m: int | None = None,
     m, k = search.shape
     n = ref.shape[0]
     if tile_m is None or tile_n is None:
-        tm, tn = pick_tiles(k, m, n, tile_m=tile_m)
+        tm, tn = _dma_tiles(k, m, n)
         tile_m = tile_m or tm
         tile_n = tile_n or tn
     if precision is None:
@@ -147,11 +164,32 @@ def v5_callback(k, m, n, search, ref):
     return np.asarray(jax.device_get(idx), dtype=np.int32)
 
 
+#: Scoped-VMEM budget for the kernel's explicit scratch (the v5e limit is
+#: ~16 MB; leave headroom for the bf16 split temporaries in _score_tile).
+V5_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _v5_guard(k: int, m: int, n: int) -> bool:
+    """True when the explicit scratch fits scoped VMEM at the tile geometry
+    dma_knn would pick — the analog of v5's texture-width precondition
+    (reference core.cu:481-485): a real constraint that FAILS for wide k,
+    delegating to v4's runtime-managed pipeline."""
+    tile_m, tile_n = _dma_tiles(k, m, n)
+    k_pad = round_up(k, 8)
+    scratch = (
+        2 * k_pad * tile_n * 4      # double-buffered r staging slices
+        + tile_m * k_pad * 4        # VMEM-resident query tile
+        + tile_m * tile_n * 4       # score tile (f32)
+        + tile_m * 128 * 12         # running (score f32, idx i32) + out
+    )
+    return scratch <= V5_VMEM_BUDGET
+
+
 register_version(
     "v5",
     v5_callback,
     "fused kernel with explicit HBM residency + manual double-buffered "
     "HBM->VMEM DMA staging (reference v5 texture path, core.cu:424-529)",
-    guard=lambda k, m, n: n >= 1,
+    guard=_v5_guard,
     fallback="v4",
 )

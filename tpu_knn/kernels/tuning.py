@@ -27,6 +27,13 @@ SCORE_TILE_BUDGET = 1 << 20
 #: Widest useful n tile (bandwidth-bound streaming).
 MAX_TILE_N = 16384
 
+#: Max elements of the (k_pad, tile_n) reference tile: it is double-
+#: buffered by the Pallas pipeline and spawns bf16 split temporaries, so
+#: wide k must shrink tile_n or the kernel exceeds the ~16 MB scoped-VMEM
+#: limit (observed on v5e: k=2048 at tile_n=2048 -> "Ran out of memory in
+#: memory space vmem", 16.24M > 16M).
+OPERAND_TILE_BUDGET = 1 << 18
+
 
 def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None,
                wide: bool = False) -> tuple[int, int]:
@@ -47,6 +54,7 @@ def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None,
     if wide and n > (1 << 17):
         budget *= 4
     tile_n = min(MAX_TILE_N, budget // tile_m)
+    tile_n = min(tile_n, OPERAND_TILE_BUDGET // round_up(k, SUBLANE))
     tile_n = min(tile_n, round_up(n, LANE))
     tile_n = max(LANE, (tile_n // LANE) * LANE)
     return tile_m, tile_n

@@ -80,12 +80,11 @@ def oracle_callback(k: int, m: int, n: int, search: np.ndarray, ref: np.ndarray)
     and falls back to NumPy when the toolchain is unavailable.
     """
     assert search.shape == (m, k) and ref.shape == (n, k)
-    try:
-        from tpu_knn import native
+    from tpu_knn import native
 
-        if native.available():
-            idx, _ = native.oracle(search, ref)
-            return idx
-    except Exception:
-        pass
+    if native.available():
+        # Call-time errors (bad args, ABI drift) must propagate — silently
+        # flipping the correctness baseline to NumPy would mask them.
+        idx, _ = native.oracle(search, ref)
+        return idx
     return oracle_knn(search, ref)
