@@ -153,3 +153,53 @@ def test_v10_never_selected_by_dispatch():
         index = NNIndex(rng.random((4096, 3), np.float32), strategy="kdtree")
         assert index.use_native_query
         assert index.dev_tree is None
+
+
+@pytest.mark.parametrize("data", ["tied_uniform", "constant_dim", "lattice",
+                                  "duplicates"])
+def test_native_vs_numpy_build_adversarial_variance(data):
+    """Native and NumPy builds must be EQUIVALENT on data where the
+    max-variance / median split heuristics tie (VERDICT round 1, item 9).
+    std::nth_element and np.argpartition legally order tied elements
+    differently, so the trees' arrays may differ; the equivalence contract
+    is behavioral — both trees hold every point exactly once and return
+    identical, oracle-exact answers with lowest-index tie-breaking."""
+    from tpu_knn import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    n = 512
+    if data == "tied_uniform":
+        col = rng.random((n, 1), np.float32)
+        ref = np.repeat(col, 4, axis=1)            # all dims identical
+    elif data == "constant_dim":
+        ref = rng.random((n, 3), np.float32)
+        ref[:, 1] = 0.25                           # zero variance on dim 1
+    elif data == "lattice":
+        g = np.stack(np.meshgrid(np.arange(8), np.arange(8), np.arange(8)),
+                     axis=-1).reshape(-1, 3).astype(np.float32)
+        ref = g / 8.0                              # exactly equal variances
+    else:  # duplicates
+        base = rng.random((8, 4), np.float32)
+        ref = np.repeat(base, n // 8, axis=0)      # massive duplication
+    ref = np.ascontiguousarray(ref, np.float32)
+    nat = build_kdtree(ref, prefer_native=True)
+    pyt = build_kdtree(ref, prefer_native=False)
+    for tree in (nat, pyt):
+        stored = np.sort(tree.p[tree.p >= 0])
+        np.testing.assert_array_equal(stored, np.arange(ref.shape[0]))
+    q = rng.random((32, ref.shape[1]), np.float32).astype(np.float32)
+    q[:8] = ref[::2][:8]  # planted exact hits force tie pressure
+    idx_nat, d_nat = query_numpy(nat, q)
+    idx_py, d_py = query_numpy(pyt, q)
+    want = oracle(q, ref)
+    np.testing.assert_array_equal(idx_nat, want)
+    np.testing.assert_array_equal(idx_py, want)
+    np.testing.assert_array_equal(d_nat, d_py)
+
+    # The native QUERY on the native tree must agree too.
+    from tpu_knn import native as native_mod
+
+    idx_nq, _ = native_mod.kdtree_query(q, ref, nat.p, nat.dim)
+    np.testing.assert_array_equal(idx_nq, want)

@@ -59,3 +59,15 @@ def test_sample_stream_uses_native(monkeypatch):
     s_py, r_py = SampleStream(1000, prefer_native=False).get_sample(3, 4, 100)
     np.testing.assert_array_equal(s_nat, s_py)
     np.testing.assert_array_equal(r_nat, r_py)
+
+
+def test_rand_property_many_seeds():
+    """Native tk_rand vs the Python model over many random seeds (the
+    Python model itself is bit-gated against system libc in
+    test_generator.py's property test — together these pin all three)."""
+    rng = np.random.default_rng(7)
+    for seed in [int(s) for s in rng.integers(0, 2**32, size=32)] + [0, 2**31]:
+        py = GlibcRand(seed)
+        nat = native.NativeRand(seed)
+        np.testing.assert_array_equal(
+            nat.raw(500), np.array(py._raw(500), np.int32), err_msg=str(seed))
