@@ -13,8 +13,11 @@ python -m pytest tests/ -x -q
 
 echo "== harness (all versions, TA datasets) =="
 python -m tpu_knn.harness.runner \
-    --versions v0,v1,v2,v3,v4,v5,v6,v7,v8,v9,v10 --shapes ta \
+    --versions v0,v1,v2,v3,v4,v5,v6,v7,v8,v9,v10,v11 --shapes ta \
     --results-csv results.csv
+
+echo "== multi-chip scaling evidence (virtual 8-device CPU mesh) =="
+python scripts/mesh_scaling.py
 
 echo "== benchmark =="
 python bench.py

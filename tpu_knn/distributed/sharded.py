@@ -86,16 +86,19 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
     num_shards = dcn * sp
     m_pad = round_up(m, dp * 8)
     m_local = m_pad // dp
-    tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, num_shards))
+    from tpu_knn.kernels.fused import auto_precision
+
+    # Precision from the GLOBAL n (the gate's tightness is global); wide
+    # tiles whenever the packed dot applies, matching fused_knn.
+    precision = auto_precision(k, n)
+    tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, num_shards),
+                                     wide=precision == "packed")
     tile_n = tile_n or auto_tile_n
     n_local = round_up(cdiv(n, num_shards), tile_n)
     n_pad = n_local * num_shards
-    from tpu_knn.kernels.fused import auto_precision
-
-    # Precision from the GLOBAL n (the gate's tightness is global).
     candidates = _build_fused_candidates(m_local, n_local, k,
                                          tile_m, tile_n, soa=True,
-                                         precision=auto_precision(k, n))
+                                         precision=precision)
 
     def shard_fn(q_local, r_local):
         # q_local: (m_local, k); r_local: (n_local, k)
@@ -135,10 +138,14 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
 
 def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
     """The (tile_n, n_local, n_pad) a prepared reference array must use to
-    enter _build_sharded(prepadded=True)."""
+    enter _build_sharded(prepadded=True) — MUST mirror _build_sharded's
+    tile selection exactly."""
+    from tpu_knn.kernels.fused import auto_precision
+
     num_shards = mesh.shape["sp"] * mesh.shape.get("dcn", 1)
     _, tile_n = pick_tiles(k, round_up(m_hint, mesh.shape["dp"] * 8) // mesh.shape["dp"],
-                           cdiv(n, num_shards))
+                           cdiv(n, num_shards),
+                           wide=auto_precision(k, n) == "packed")
     n_local = round_up(cdiv(n, num_shards), tile_n)
     return tile_n, n_local, n_local * num_shards
 

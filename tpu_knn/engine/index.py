@@ -89,7 +89,11 @@ class NNIndex:
         if strategy in ("fused", "auto"):
             # tile_n is fixed at prepare time; pick for a large-batch query
             # and reuse (the n padding must match the kernel's tiling).
-            _, self.tile_n = pick_tiles(self.k, 1024, self.n)
+            # wide= must match fused_knn's per-call choice — round 1's
+            # prepared index benched SLOWER than per-call because it
+            # silently used tile_n=2048 instead of the packed path's 8192.
+            _, self.tile_n = pick_tiles(self.k, 1024, self.n,
+                                        wide=precision == "packed")
             # Kernel operands prepared once on device (SoA layout; for the
             # default bf16x3 path: bf16 hi/lo splits + f32 norms).
             builder = _build_fused_candidates(8, self.n, self.k, 8,

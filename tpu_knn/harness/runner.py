@@ -113,7 +113,7 @@ def run(versions, shapes, seed=DEFAULT_SEED, check=True, log=print,
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--versions", default="v0,v1,v2,v3,v4,v5,v6,v7,v8,v9,v10",
+    ap.add_argument("--versions", default="v0,v1,v2,v3,v4,v5,v6,v7,v8,v9,v10,v11",
                     help="comma-separated version list; first is the baseline")
     ap.add_argument("--shapes", default="ta", choices=["ta", "big", "both"],
                     help="ta = the 8 reference datasets; big = the 4 large "
