@@ -50,15 +50,20 @@ def device_gate_vs_v2(q, r, idx) -> tuple:
     import jax
     import jax.numpy as jnp
 
-    from tpu_knn.kernels.twophase import V2_CHUNK, _v2_argmin
+    from tpu_knn.kernels.twophase import _v2_argmin
 
     n = r.shape[0]
-    chunk = min(V2_CHUNK, n)
+    # Wider chunks than v2's default: 16 scan steps instead of 256 keeps
+    # the gate's compile+run cost small on the bench path.
+    chunk = min(1 << 20, n)
     assert n % chunk == 0, "bench shapes are power-of-two n"
     i2 = _v2_argmin(q, r, n, chunk)
 
+    # q/r must be ARGUMENTS, not closure captures: a closed-over device
+    # array is baked into the jaxpr as a constant, and XLA spent 10+ min
+    # embedding the 1 GB reference array into the gate executable at ds9.
     @jax.jit
-    def count_errors(idx, i2):
+    def count_errors(q, r, idx, i2):
         def true_d(i):
             diff = q - jnp.take(r, i, axis=0)
             return jnp.sqrt(jnp.sum(diff * diff, axis=1))
@@ -66,7 +71,7 @@ def device_gate_vs_v2(q, r, idx) -> tuple:
         ok = (idx == i2) | (jnp.abs(true_d(idx) - true_d(i2)) <= 1e-3)
         return jnp.sum(~ok)
 
-    errors = int(jax.device_get(count_errors(idx, i2)))
+    errors = int(jax.device_get(count_errors(q, r, idx, i2)))
     return errors, int(q.shape[0])
 
 

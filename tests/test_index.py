@@ -118,3 +118,27 @@ def test_auto_strategy_projection_route_small_n():
             rtol=1e-6)
     finally:
         proj_mod.projection_wins = orig
+
+
+def test_query_m_bucketing_single_compile():
+    """Serving pads batches to power-of-two buckets: a varying-m request
+    stream must reuse one compiled pipeline per bucket, and padded rows
+    must never leak into results."""
+    from tpu_knn.engine.index import _build_prepared_query
+
+    rng = np.random.default_rng(12)
+    ref = rng.random((10_000, 5), np.float32)
+    index = NNIndex(ref, strategy="fused")
+    misses0 = _build_prepared_query.cache_info().misses
+    for m in (9, 11, 13, 16):   # all bucket to 16
+        q = rng.random((m, 5), np.float32)
+        idx, d2 = index.query(q)
+        assert idx.shape == (m,) and d2.shape == (m,)
+        np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+    assert _build_prepared_query.cache_info().misses == misses0 + 1
+
+    # Opt-out gives exact-m compiles.
+    index.bucket_m = False
+    q = rng.random((9, 5), np.float32)
+    idx, _ = index.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))

@@ -175,6 +175,16 @@ class NNIndex:
         if self.cert_rate >= self.CERT_RATE_MIN:
             self.proj_index = proj_index
 
+    #: Serving pads each batch up to the next power-of-two bucket so a
+    #: varying-m request stream hits a handful of compiled pipelines
+    #: instead of one XLA compile per distinct m (compiles are seconds;
+    #: the padded rows cost < 2x compute on the padded fraction only).
+    bucket_m: bool = True
+
+    @staticmethod
+    def _m_bucket(m: int) -> int:
+        return max(8, 1 << (m - 1).bit_length())
+
     def query(self, search):
         """search (m, k) -> (idx (m,) i32, d2 (m,) f32) arrays (device
         arrays for device strategies; host arrays from the CPU-native
@@ -191,14 +201,29 @@ class NNIndex:
                 self.tree.p, self.tree.dim)
             return idx, d2
         search = jnp.asarray(search, jnp.float32)
+        mb = self._m_bucket(m) if self.bucket_m else m
+        if mb != m:
+            # Edge padding: duplicate real queries so padded rows behave
+            # like in-distribution work (and certify under v11's bound).
+            search = jnp.concatenate(
+                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        idx, d2 = self._query_padded(search, m)
+        if mb != m:
+            idx, d2 = idx[:m], d2[:m]
+        return idx, d2
+
+    def _query_padded(self, search, m_true: int):
+        m = search.shape[0]
         if self.strategy in ("fused", "auto"):
             if self.strategy == "auto":
                 from tpu_knn.kernels.projection import (
                     auto_window, projection_wins, _build_projection_pipeline,
                 )
 
+                # Cost model on the true batch size (padding is an
+                # implementation detail, not extra user work).
                 if (self.proj_index is not None
-                        and projection_wins(self.k, m, self.n)):
+                        and projection_wins(self.k, m_true, self.n)):
                     self.last_strategy = "projection"
                     run = _build_projection_pipeline(
                         m, self.n, self.k, auto_window(self.k, self.n))
