@@ -8,9 +8,19 @@ BASELINE.md). vs_baseline is the speedup factor (reference_ms / ours).
 
 Details for every measured shape land in BENCH_DETAILS.json. Timing
 protocol mirrors the reference's WarmUP/BenchMark statics (core.cu:
-1192-1281): absorb cold start first (here: the axon tunnel's first
-device-to-host transfer, ~100 s, plus jit compiles), then average
-pipelined dispatches of the single-jit pipeline.
+1192-1281) in spirit — absorb cold start first (the axon tunnel's first
+device-to-host transfer, ~100 s, plus jit compiles), then measure steady
+state — but the measurement itself is the AMPLIFIED IN-DISPATCH protocol
+(harness/timing.py:amplified_ms): N dependent iterations of the pipeline
+inside one lax.fori_loop jit, completion forced by a host readback of the
+carry. Round 2 found that block_until_ready does not reliably block over
+the axon tunnel (a 5.4 ms pipeline read 0.07 ms under pipelined-dispatch
+timing), so per-dispatch wall timing can silently under-report; the
+amplified protocol cannot — host wall time around a readback-completed
+program is a hard upper bound, and tunnel latency amortizes to RTT/N.
+`dispatch_ms` columns record the honest one-shot latency separately
+(single dispatch + forced readback, which over this tunnel includes a
+~25 ms round trip a local TPU host would not pay).
 """
 
 import json
@@ -80,6 +90,7 @@ def main():
     import jax.numpy as jnp
 
     from tpu_knn.harness.checker import check_results
+    from tpu_knn.harness.timing import amplified_ms, calibrated_amplified_ms
     from tpu_knn.kernels.fused import fused_knn
 
     backend = jax.default_backend()
@@ -133,36 +144,35 @@ def main():
         print(f"# {name}: compiled in {compile_s:.1f}s, timing...",
               file=sys.stderr, flush=True)
 
-        if m * n <= (1 << 26):
-            reps = 50
-        elif m * n <= (1 << 30):
-            reps = 20
-        else:
-            reps = 10
-        ms = float("inf")
-        for _trial in range(2):  # best-of-2: the tunnel adds run noise
-            t0 = time.time()
-            for _i in range(reps):
-                idx, d2 = fused_knn(q, r)
-            idx.block_until_ready()
-            ms = min(ms, (time.time() - t0) / reps * 1e3)
+        # Per-call pipeline, amplified: q AND r are perturbed by i*1e-9 —
+        # the q perturbation defeats loop-invariant hoisting of the scan;
+        # the r perturbation fuses into the pad+transpose prep's first
+        # read pass (free) and keeps the per-call prep inside the loop.
+        def percall_step(i, c, q, r):
+            eps = i.astype(jnp.float32) * 1e-9
+            idx_a, d2_a = fused_knn(q + eps, r + eps)
+            return c + d2_a[0] + idx_a[0].astype(jnp.float32) * 1e-9
 
-        # Cold-dispatch variant for the latency-bound TA shapes: one
-        # isolated dispatch+sync, which over the axon tunnel includes a
-        # host round trip (~1-3 ms floor) the pipelined number amortizes.
+        ms, iters = calibrated_amplified_ms(percall_step, q, r)
+
+        # Cold-dispatch variant: one isolated dispatch with completion
+        # forced by reading the (m,) result back — over the axon tunnel
+        # this includes a ~25 ms host round trip that a local TPU host
+        # would not pay; it bounds one-shot latency from above.
         dispatch_ms = None
         if m * n <= (1 << 26):
             dispatch_ms = float("inf")
             for _i in range(5):
                 t0 = time.time()
                 idx, d2 = fused_knn(q, r)
-                idx.block_until_ready()
+                np.asarray(idx)
                 dispatch_ms = min(dispatch_ms, (time.time() - t0) * 1e3)
 
         row = {
             "name": name,
             "k": k, "m": m, "n": n,
             "ms": round(ms, 3),
+            "timing": f"amplified x{iters}",
             "compile_s": round(compile_s, 2),
             "reference_ms": base_ms,
             "reference_hw": base_hw,
@@ -173,6 +183,9 @@ def main():
         }
         if dispatch_ms is not None:
             row["dispatch_ms"] = round(dispatch_ms, 3)
+            if ms < 1.0:
+                row["regime"] = ("device-rate; one-shot latency is "
+                                 "dispatch-bound (see dispatch_ms)")
 
         # Correctness gate on the measured data, every row: host oracle
         # where readback is cheap (the tunnel's D2H runs ~30 MB/s), the
@@ -215,18 +228,23 @@ def main():
         q = jax.random.uniform(jax.random.fold_in(kq, 1), (m, k), jnp.float32)
         r = jax.random.uniform(jax.random.fold_in(kq, 2), (n, k), jnp.float32)
         t0 = time.time()
-        index = NNIndex(np.asarray(r), strategy="fused")
+        index = NNIndex(r, strategy="fused")
         build_s = time.time() - t0
-        idx, d2 = index.query(q)
-        idx.block_until_ready()
-        t0 = time.time()
-        for _i in range(20):
-            idx, d2 = index.query(q)
-        idx.block_until_ready()
-        ms = (time.time() - t0) / 20 * 1e3
+        run_prep, ops = index.pipeline(m)
+
+        # Prepared serving: only q is perturbed per iteration — the
+        # prepared operands ARE legitimately reused across calls; that is
+        # the strategy's whole point.
+        def prep_step(i, c, q, ops):
+            eps = i.astype(jnp.float32) * 1e-9
+            ia, da = run_prep(q + eps, *ops)
+            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+        ms, iters = calibrated_amplified_ms(prep_step, q, ops)
         details["rows"].append({
             "name": "ds11_prepared_index",
             "k": k, "m": m, "n": n, "ms": round(ms, 3),
+            "timing": f"amplified x{iters}",
             "prepare_s": round(build_s, 2),
             "qps": round(m / (ms / 1e3)),
             "note": "NNIndex(strategy=fused): SoA layout paid once",
@@ -253,16 +271,18 @@ def main():
         runner = _build_pallas_window_query(16, 1 << 24, 3,
                                             auto_window(3, 1 << 24))
         out = runner(qv, *pre)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _i in range(20):
-            out = runner(qv, *pre)
-        jax.block_until_ready(out)
-        v11_ms = (time.time() - t0) / 20 * 1e3
         certified = int(jax.device_get(out[2]).sum())
+
+        def v11_step(i, c, qv, pre):
+            eps = i.astype(jnp.float32) * 1e-9
+            ia, da, _ok = runner(qv + eps, *pre)
+            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+        v11_ms, v11_iters = calibrated_amplified_ms(v11_step, qv, pre)
         details["rows"].append({
             "name": "v11_window_16x1x2^24_k3",
             "ms": round(v11_ms, 3),
+            "timing": f"amplified x{v11_iters}",
             "build_s": round(v11_build_s, 2),
             "certified": f"{certified}/16",
             "note": "projection window index, raw runner; fused full scan "
@@ -279,19 +299,29 @@ def main():
         routed = None
         if index.proj_index is not None:
             ia, da = index.query(qv)
-            jax.block_until_ready(ia)
             routed = index.last_strategy
-            t0 = time.time()
-            for _i in range(20):
-                ia, da = index.query(qv)
-            jax.block_until_ready(ia)
-            auto_ms = (time.time() - t0) / 20 * 1e3
+            from tpu_knn.kernels.projection import _build_projection_pipeline
+
+            mb = index._m_bucket(16)
+            qb = jnp.concatenate(
+                [qv, jnp.broadcast_to(qv[-1:], (mb - 16, 3))])
+            run_auto = _build_projection_pipeline(
+                mb, 1 << 24, 3, auto_window(3, 1 << 24))
+
+            def auto_step(i, c, qb, ref_dev, proj):
+                eps = i.astype(jnp.float32) * 1e-9
+                ja, ea, _ok = run_auto(qb + eps, ref_dev, *proj)
+                return c + ea[0] + ja[0].astype(jnp.float32) * 1e-9
+
+            auto_ms, auto_iters = calibrated_amplified_ms(
+                auto_step, qb, index.ref_dev, index.proj_index)
             # On-device differential gate (v2 independent path) — reading
             # back the 2^24-row reference costs ~7 s over the tunnel.
             errors16, total16 = device_gate_vs_v2(qv, rv, ia)
             details["rows"].append({
                 "name": "v11_auto_index_16x2^24_k3",
                 "ms": round(auto_ms, 3),
+                "timing": f"amplified x{auto_iters} (m padded to bucket 16)",
                 "routed": routed,
                 "cert_rate_probe": round(index.cert_rate, 3),
                 "errors": f"{errors16}/{total16}",
@@ -334,19 +364,25 @@ def main():
         from tpu_knn.kdtree.build import build_kdtree
         from tpu_knn.kdtree.traversal import DeviceKDTree
 
+        from tpu_knn.kdtree.traversal import _batched_traverse
+
         dev_tree = DeviceKDTree(build_kdtree(rk))
         qd = jnp.asarray(qk)
         iv, dv = dev_tree.query(qd)
-        jax.block_until_ready(iv)
-        t0 = time.time()
-        for _i in range(2):
-            iv, dv = dev_tree.query(qd)
-        jax.block_until_ready(iv)
-        v10_ms = (time.time() - t0) / 2 * 1e3
+        tree_ops = (dev_tree.ref, dev_tree.p, dev_tree.dim,
+                    dev_tree.split_val)
+
+        def v10_step(i, c, qd, tree_ops):
+            eps = i.astype(jnp.float32) * 1e-9
+            ia, da = _batched_traverse(qd + eps, *tree_ops, dev_tree.cap)
+            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+        v10_ms = amplified_ms(v10_step, qd, tree_ops, iters=2, reps=1)
         errs_v10 = int(np.sum(np.asarray(iv) != np.asarray(ik)))
         details["rows"].append({
             "name": "v10_device_traversal_3x1024x65536",
             "query_ms": round(v10_ms, 3),
+            "timing": "amplified x2",
             "errors_vs_native_kdtree": f"{errs_v10}/1024",
             "note": "capability demo only — never selected by dispatch "
                     "(divergent traversal is anti-TPU; v11 is the "

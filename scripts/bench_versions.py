@@ -33,6 +33,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_knn.harness.timing import calibrated_amplified_ms
     from tpu_knn.kernels.dma_pipeline import dma_knn
     from tpu_knn.kernels.fused import fused_knn
     from tpu_knn.kernels.twolevel import twolevel_knn
@@ -66,13 +67,14 @@ def main():
         q.block_until_ready(); r.block_until_ready()
         for vname, fn in paths:
             try:
-                out = fn(q, r); out.block_until_ready()
-                reps = 10
-                t0 = time.time()
-                for _i in range(reps):
-                    out = fn(q, r)
-                out.block_until_ready()
-                ms = (time.time() - t0) / reps * 1e3
+                # Amplified in-dispatch protocol (harness/timing.py):
+                # block_until_ready is unreliable over the axon tunnel.
+                def step(i, c, q, r, fn=fn):
+                    eps = i.astype(jnp.float32) * 1e-9
+                    return c + fn(q + eps, r + eps)[0].astype(jnp.float32) * 1e-9
+
+                ms, _iters = calibrated_amplified_ms(step, q, r,
+                                                     target_ms=300.0)
             except Exception as e:
                 ms = float("nan")
                 print(f"{vname} @ {name}: FAILED {type(e).__name__}",
@@ -86,9 +88,11 @@ def main():
         "",
         "The analog of the reference README's version tables "
         "(README.md:281-291). Shapes: ds8=(3,1,2^24), ds9=(16,1,2^24), "
-        "ds10=(3,1024,2^20), ds11=(16,1024,2^20). Single run; the dev "
-        "tunnel adds 30-100% run-to-run noise (bench.py best-of-2 numbers "
-        "in BENCH_DETAILS.json are the cleaner reference).",
+        "ds10=(3,1024,2^20), ds11=(16,1024,2^20). Amplified in-dispatch "
+        "timing (harness/timing.py:amplified_ms — N dependent iterations "
+        "inside one jit, completion forced by host readback); day-to-day "
+        "device/tunnel variance is ±20-30%, so compare rows within this "
+        "table, not against tables from other days.",
         "",
         "| version | ds8 | ds9 | ds10 | ds11 |",
         "|---|---|---|---|---|",

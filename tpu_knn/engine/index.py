@@ -212,6 +212,23 @@ class NNIndex:
             idx, d2 = idx[:m], d2[:m]
         return idx, d2
 
+    def pipeline(self, m: int):
+        """Return (run, ops) for the prepared device query pipeline at
+        batch size ``m``: ``run(search, *ops) -> (idx, d2)``, with `run`
+        jit-traceable and `ops` the device-resident prepared operands.
+
+        For integrations that embed the query in a larger jit (or an
+        amplified timing loop) — only the fused/auto strategies have a
+        single-program prepared pipeline to expose."""
+        if self.strategy not in ("fused", "auto"):
+            raise ValueError(
+                f"pipeline() requires the fused/auto strategy, not "
+                f"{self.strategy!r}")
+        tile_m, _ = pick_tiles(self.k, m, self.n)
+        run = _build_prepared_query(m, self.n, self.k, tile_m,
+                                    self.tile_n, self.precision)
+        return run, (self.r_ops, self.ref_dev)
+
     def _query_padded(self, search, m_true: int):
         m = search.shape[0]
         if self.strategy in ("fused", "auto"):
