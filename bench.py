@@ -49,6 +49,8 @@ SHAPES = [
 
 HEADLINE = "ds11"
 
+SHAPES_BY_NAME = [(s[0], s) for s in SHAPES]
+
 
 def device_gate_vs_v2(q, r, idx) -> tuple:
     """On-device differential correctness gate for shapes too large to read
@@ -251,6 +253,50 @@ def main():
         })
         print(f"# ds11 prepared-index query: {ms:.3f} ms", file=sys.stderr,
               flush=True)
+
+        # Prepared serving at the m=1 bandwidth-bound shapes (ds8/ds9):
+        # NNIndex routes m<=4 to the diff-form VPU kernel (smallm.py) off
+        # the same prepared SoA operand; per-call numbers above pay the
+        # one-time pad+transpose on every call.
+        for sname, sk in (("ds8", 3), ("ds9", 16)):
+            m1, n1 = 1, 1 << 24
+            kq = jax.random.fold_in(key, 110 + sk)
+            q1 = jax.random.uniform(jax.random.fold_in(kq, 1), (m1, sk),
+                                    jnp.float32)
+            r1 = jax.random.uniform(jax.random.fold_in(kq, 2), (n1, sk),
+                                    jnp.float32)
+            t0 = time.time()
+            idx1 = NNIndex(r1, strategy="fused")
+            build1_s = time.time() - t0
+            run1, ops1 = idx1.pipeline(m1)
+
+            def small_step(i, c, q, ops, run1=run1):
+                eps = i.astype(jnp.float32) * 1e-9
+                ia, da = run1(q + eps, *ops)
+                return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+            ms1, iters1 = calibrated_amplified_ms(small_step, q1, ops1)
+            ia1, _da1 = run1(q1, *ops1)
+            errs1, tot1 = device_gate_vs_v2(q1, r1, ia1)
+            details["rows"].append({
+                "name": f"{sname}_prepared_index",
+                "k": sk, "m": m1, "n": n1, "ms": round(ms1, 3),
+                "timing": f"amplified x{iters1}",
+                "prepare_s": round(build1_s, 2),
+                "reference_ms": dict(SHAPES_BY_NAME)[sname][4],
+                "speedup_vs_reference": round(
+                    dict(SHAPES_BY_NAME)[sname][4] / ms1, 2),
+                "errors": f"{errs1}/{tot1}",
+                "gate": "on-device v2 differential",
+                "note": "NNIndex m=1 serving: diff-form VPU kernel on the "
+                        "prepared SoA operand (kernels/smallm.py)",
+            })
+            if errs1:
+                print(f"CORRECTNESS FAILURE on {sname}_prepared_index",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# {sname} prepared-index (m=1): {ms1:.3f} ms "
+                  f"errors {errs1}/{tot1}", file=sys.stderr, flush=True)
 
         # v11 projection index, small-batch lookup niche: raw runner
         # timing (the certification sync is a tunnel artifact; see

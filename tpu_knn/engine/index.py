@@ -49,6 +49,23 @@ from tpu_knn.utils.shapes import round_up
 
 
 @functools.lru_cache(maxsize=None)
+def _build_smallm_prepared(m: int, n: int, k: int):
+    """Small-batch prepared pipeline: the diff-form VPU kernel
+    (kernels/smallm.py) against the SAME SoA operand as the fused path —
+    the m<=4 regime where the MXU's packed-dot prep work is all overhead."""
+    from tpu_knn.kernels.fused import _refine
+    from tpu_knn.kernels.smallm import _build_smallm_candidates
+
+    candidates = _build_smallm_candidates(m, n, k)
+
+    @jax.jit
+    def run(search, r_ops, ref_aos):
+        return _refine(search, ref_aos, candidates(search, r_ops), n)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
                           precision: str = DEFAULT_PRECISION):
     """Query pipeline against a prepared (k_pad, n_pad) SoA array — the
@@ -183,6 +200,11 @@ class NNIndex:
 
     @staticmethod
     def _m_bucket(m: int) -> int:
+        # Small batches keep their own {1, 2, 4} buckets: the diff-form
+        # small-m kernel's cost is linear in the padded m, so padding a
+        # single-query lookup to 8 would double-to-octuple its VPU sweep.
+        if m <= 4:
+            return 1 << max(0, m - 1).bit_length()
         return max(8, 1 << (m - 1).bit_length())
 
     def query(self, search):
@@ -224,6 +246,11 @@ class NNIndex:
             raise ValueError(
                 f"pipeline() requires the fused/auto strategy, not "
                 f"{self.strategy!r}")
+        from tpu_knn.kernels.smallm import smallm_applicable
+
+        if smallm_applicable(m, self.k, self.n) and len(self.r_ops) == 1:
+            return (_build_smallm_prepared(m, self.n, self.k),
+                    (self.r_ops, self.ref_dev))
         tile_m, _ = pick_tiles(self.k, m, self.n)
         run = _build_prepared_query(m, self.n, self.k, tile_m,
                                     self.tile_n, self.precision)
@@ -248,6 +275,14 @@ class NNIndex:
                                        *self.proj_index)
                     return idx, d2
                 self.last_strategy = "fused"
+            from tpu_knn.kernels.smallm import smallm_applicable
+
+            if smallm_applicable(m, self.k, self.n) and len(self.r_ops) == 1:
+                # The diff-form VPU kernel serves tiny batches off the
+                # very same SoA operand (still the "fused" strategy — a
+                # kernel choice, not a route).
+                run = _build_smallm_prepared(m, self.n, self.k)
+                return run(search, self.r_ops, self.ref_dev)
             tile_m, _ = pick_tiles(self.k, m, self.n)
             run = _build_prepared_query(m, self.n, self.k, tile_m,
                                         self.tile_n, self.precision)

@@ -515,6 +515,16 @@ def fused_knn(search, ref, *, soa: bool = True,
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
     n = ref.shape[0]
+    if tile_m is None and tile_n is None and soa and precision is None:
+        # Tiny batches route to the diff-form VPU kernel (smallm.py): at
+        # m<=4 the packed dot's per-element split/concat work dominates
+        # while the MXU runs at <=8/128-row utilization, and diff-form
+        # scores are exact f32 outright. Explicit tile/precision arguments
+        # signal measurement intent and keep the MXU path.
+        from tpu_knn.kernels.smallm import smallm_applicable, smallm_knn
+
+        if smallm_applicable(m, k, n):
+            return smallm_knn(search, ref)
     if precision is None:
         precision = auto_precision(k, n)
     # Wide tiles require the packed dot to ACTUALLY fit (an explicit
