@@ -87,3 +87,27 @@ def test_fused_planted_winner_positions():
         r[pos] = 0.5
         idx, _ = fused_knn(q, r, tile_m=8, tile_n=256)
         assert int(idx[0]) == pos and int(idx[1]) == pos
+
+
+def test_top_t_selection_many_exact_ties():
+    """The refine stage keeps only REFINE_TOP_T lanes; plant MORE exact
+    duplicates than T across different lanes and tiles — the lowest index
+    must still win (lexicographic extraction), in v4 and v7 alike."""
+    from tpu_knn.kernels.fused import REFINE_TOP_T
+    from tpu_knn.kernels.twolevel import twolevel_knn
+
+    rng = np.random.default_rng(13)
+    q = rng.random((3, 4), np.float32).astype(np.float32)
+    r = (rng.random((4096, 4), np.float32) + 2.0).astype(np.float32)
+    spots = [3301, 3302, 3303, 257, 513, 901, 1151, 1403, 1667, 2003,
+             2311, 2689, 3072, 3967, 640, 1920]
+    assert len(spots) > REFINE_TOP_T
+    for s in spots:
+        r[s] = q[1]  # exact duplicates of query 1, min index 257
+    idx, d2 = fused_knn(q, r, tile_m=8, tile_n=512)  # explicit: MXU path
+    assert int(idx[1]) == min(spots) and float(d2[1]) == 0.0
+    np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, r))
+
+    idx7, _ = twolevel_knn(q, r, parts=4)
+    assert int(idx7[1]) == min(spots)
+    np.testing.assert_array_equal(np.asarray(idx7), oracle_knn(q, r))

@@ -251,7 +251,7 @@ def _score_tile_presplit(q_tile, r_hi, r_lo, r_norm):
 
 
 def _fused_presplit_kernel(q_ref, r_hi_ref, r_lo_ref, r_norm_ref, out_i_ref,
-                           best_s, best_i, *,
+                           out_s_ref, best_s, best_i, *,
                            n: int, tile_n: int, n_tiles: int):
     """Pre-split SoA variant of _fused_kernel (same fold/tie semantics)."""
     j = pl.program_id(1)
@@ -275,9 +275,10 @@ def _fused_presplit_kernel(q_ref, r_hi_ref, r_lo_ref, r_norm_ref, out_i_ref,
     @pl.when(j == n_tiles - 1)
     def _():
         out_i_ref[:] = cur_i
+        out_s_ref[:] = cur_s
 
 
-def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
+def _fused_kernel(q_ref, r_ref, out_i_ref, out_s_ref, best_s, best_i, *,
                   n: int, tile_n: int, n_tiles: int, soa: bool,
                   precision: str, fuse_norm: bool = False):
     """Grid (m_tiles, n_tiles), n innermost; scratch carries the per-lane
@@ -314,6 +315,9 @@ def _fused_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
     @pl.when(j == n_tiles - 1)
     def _():
         out_i_ref[:] = cur_i
+        # Scores are ordinal (selection only): negate the fused-norm
+        # variant's running-max form so lower = nearer uniformly.
+        out_s_ref[:] = -cur_s if fuse_norm else cur_s
 
 
 @functools.lru_cache(maxsize=None)
@@ -372,8 +376,9 @@ def _build_fused_candidates(m: int, n: int, k: int,
                             memory_space=pltpu.VMEM)
     common = dict(
         grid=(m_tiles, n_tiles),
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((tile_m, 128), jnp.float32),
             pltpu.VMEM((tile_m, 128), jnp.int32),
@@ -426,10 +431,14 @@ def _build_fused_candidates(m: int, n: int, k: int,
         return hi, lo, rn
 
     def candidates(search, ref):
+        """Returns (idx (m,128) i32, score (m,128) f32) — the per-lane
+        candidate set plus its ordinal scores (consumed by _refine's
+        top-T selection; lower = nearer in every variant)."""
         if prepadded_soa:
             # `ref` is the operand tuple produced by candidates.prep_soa.
             q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
-            return call(q, *ref)[:m]
+            ci, cs = call(q, *ref)
+            return ci[:m], cs[:m]
         if fuse_norm:
             # Augment: r gains a ‖r‖² row, q a matching -0.5 column, so the
             # MXU computes q·r − ‖r‖²/2 in the same (contraction-padded)
@@ -440,15 +449,18 @@ def _build_fused_candidates(m: int, n: int, k: int,
             search_aug = jnp.concatenate([search, q_col], axis=1)
             q = jnp.pad(search_aug, ((0, m_pad - m), (0, k_pad - k_aug)))
             r = jnp.pad(ref_aug, ((0, n_pad - n), (0, k_pad - k_aug))).T
-            return call(q, r)[:m]
+            ci, cs = call(q, r)
+            return ci[:m], cs[:m]
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         if soa:
             # v4's mat_inv analog: one XLA transpose into (k, n) so n rides
             # the lanes (reference core.cu:315-330; README.md:105-111) —
             # fused with the bf16 split / norm precompute for presplit.
-            return call(q, *prep_soa(ref))[:m]
+            ci, cs = call(q, *prep_soa(ref))
+            return ci[:m], cs[:m]
         r = jnp.pad(ref, ((0, n_pad - n), (0, 0)))
-        return call(q, r)[:m]
+        ci, cs = call(q, r)
+        return ci[:m], cs[:m]
 
     candidates.prep_soa = prep_soa
     return candidates
@@ -496,8 +508,44 @@ def _exact_rerank(search, src, cand, n_valid, tie_src=None):
     return idx, jnp.squeeze(v, -1)
 
 
+#: Candidate lanes kept for the exact rerank. The true NN's lane winner
+#: ranks ~1st by approximate score (errors are <= 2^-26 relative on the
+#: packed path — orders of magnitude under the gate's +-1e-3), so T=8 has
+#: the same safety structure as refining all 128 lanes while cutting the
+#: rerank's random row gathers 16x (0.77 -> ~0.1 ms at ds11, 31% of the
+#: pipeline; see docs/PERF_NOTES.md).
+REFINE_TOP_T = 8
+
+
+def _select_top(idx, score, t: int = REFINE_TOP_T):
+    """Keep the t lexicographically-(score, index)-smallest candidates per
+    row. Exact duplicates produce bit-identical scores, so every tied-at-
+    the-minimum group is extracted lowest-index-first — the global lowest-
+    index minimum always survives into the rerank (v0's tie rule)."""
+    if idx.shape[-1] <= t:
+        return idx
+    # Defensive: a NaN score would poison jnp.min and drop the whole row's
+    # candidates (the kernels never emit NaN for valid lanes, but user data
+    # containing NaN/inf is out of contract, not a reason to select wrong).
+    score = jnp.where(jnp.isnan(score), jnp.inf, score)
+    picks = []
+    for _ in range(t):
+        v = jnp.min(score, axis=-1, keepdims=True)
+        tie = jnp.where(score == v, idx, _I32_MAX)
+        pick = jnp.min(tie, axis=-1)
+        picks.append(pick)
+        score = jnp.where(idx == pick[..., None], jnp.inf, score)
+    return jnp.stack(picks, axis=-1)
+
+
 def _refine(search, ref, cand, n):
-    """Exact selection over per-lane candidates (see _exact_rerank)."""
+    """Exact selection over per-lane candidates (see _exact_rerank).
+
+    `cand` is either (idx, score) — the candidates() contract, enabling
+    the top-T pre-selection — or a plain index array (v5's DMA kernel),
+    which reranks in full."""
+    if isinstance(cand, (tuple, list)):
+        cand = _select_top(*cand)
     return _exact_rerank(search, ref, cand, n)
 
 

@@ -68,7 +68,7 @@ def pick_tile_n(k: int, n: int) -> int:
     return max(128, (tile_n // 128) * 128)
 
 
-def _smallm_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
+def _smallm_kernel(q_ref, r_ref, out_i_ref, out_s_ref, best_s, best_i, *,
                    m: int, n: int, tile_n: int, n_tiles: int):
     from tpu_knn.kernels.fused import _fold_scores
 
@@ -96,6 +96,7 @@ def _smallm_kernel(q_ref, r_ref, out_i_ref, best_s, best_i, *,
     @pl.when(j == n_tiles - 1)
     def _():
         out_i_ref[:] = best_i[:]
+        out_s_ref[:] = best_s[:]
 
 
 @functools.lru_cache(maxsize=None)
@@ -135,9 +136,10 @@ def _build_smallm_candidates(m: int, n: int, k: int,
             pl.BlockSpec((k_pad, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_out, 128), lambda j: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_out, 128), jnp.int32),
+        out_specs=[pl.BlockSpec((m_out, 128), lambda j: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((m_out, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((m_out, 128), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((m_out, 128), jnp.float32),
             pltpu.VMEM((m_out, 128), jnp.int32),
@@ -174,7 +176,8 @@ def _build_smallm_candidates(m: int, n: int, k: int,
             return _build_smallm_candidates(m, n, k, tile_n=t)(
                 search, ref_ops)
         q = jnp.pad(search.T, ((0, k_pad - k), (0, 128 - m)))
-        return call(q, r_op)[:m]
+        ci, cs = call(q, r_op)
+        return ci[:m], cs[:m]
 
     candidates.prep = prep
     candidates.tile_n = tile_n

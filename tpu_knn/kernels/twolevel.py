@@ -54,13 +54,16 @@ def _build_twolevel(m: int, n: int, k: int, parts: int,
     def run(search, ref):
         r = jnp.pad(ref, ((0, n_pad - n), (0, 0)), constant_values=PAD_VALUE)
         r = r.reshape(parts, n_shard, ref.shape[1])
-        cand = jax.vmap(kernel, in_axes=(None, 0))(search, r)  # (P, m, 128)
+        ci, cs = jax.vmap(kernel, in_axes=(None, 0))(search, r)  # (P, m, 128)
         # Index rebase: local -> global, PER PARTITION (the reference's
         # second level got this wrong; core.cu:771-773).
         offs = (jnp.arange(parts, dtype=jnp.int32) * n_shard)[:, None, None]
-        cand = jnp.where(cand < n_shard, cand + offs, np.int32(2**31 - 1))
-        cand = jnp.moveaxis(cand, 0, 1).reshape(m, parts * 128)
-        return _refine(search, ref, cand, n)
+        ci = jnp.where(ci < n_shard, ci + offs, np.int32(2**31 - 1))
+        ci = jnp.moveaxis(ci, 0, 1).reshape(m, parts * 128)
+        # Scores are globally comparable (same norm-trick form, same q);
+        # padded partitions carry +inf and their I32_MAX indices above.
+        cs = jnp.moveaxis(cs, 0, 1).reshape(m, parts * 128)
+        return _refine(search, ref, (ci, cs), n)
 
     return run
 
