@@ -331,8 +331,9 @@ def main():
             "timing": f"amplified x{v11_iters}",
             "build_s": round(v11_build_s, 2),
             "certified": f"{certified}/16",
-            "note": "projection window index, raw runner; fused full scan "
-                    "is ~5ms at this shape",
+            "note": "projection window index, raw runner — reads dense "
+                    "windows instead of the whole set (a full prepared "
+                    "scan at this n is ~0.8-3 ms)",
         })
         print(f"# v11 window (3,16,2^24): {v11_ms:.3f} ms "
               f"(certified {certified}/16)", file=sys.stderr, flush=True)
