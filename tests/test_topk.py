@@ -1,0 +1,94 @@
+"""Exact top-K neighbors (kernels/topk.py) — the serving extension beyond
+the reference's 1-NN contract. Output rows must be ascending by exact
+(squared distance, index): v0's lowest-index tie rule extended to K."""
+
+import numpy as np
+import pytest
+
+import tpu_knn
+from tpu_knn.engine.index import NNIndex
+from tpu_knn.kernels.topk import MAX_NEIGHBORS, topk_knn
+
+
+def oracle_topk(q, r, kk):
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    return np.array(
+        [np.lexsort((np.arange(len(row)), row))[:kk] for row in d2])
+
+
+@pytest.mark.parametrize("k,m,n,kk", [
+    (3, 4, 1000, 5),
+    (16, 8, 4096, 8),
+    (5, 1, 2000, 16),
+    (3, 2, 128, 128),   # K = n: full ordering
+    (8, 4, 777, 3),     # ragged n
+])
+def test_topk_conformance(k, m, n, kk):
+    rng = np.random.default_rng(hash((k, m, n, kk)) % 2**31)
+    q = rng.random((m, k), np.float32)
+    r = rng.random((n, k), np.float32)
+    idx, d2 = topk_knn(q, r, kk)
+    want = oracle_topk(q, r, kk)
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    np.testing.assert_allclose(
+        np.asarray(d2),
+        np.take_along_axis(((q[:, None, :] - r[None, :, :]) ** 2).sum(-1),
+                           want, axis=1),
+        rtol=1e-6, atol=1e-7)
+    # rows sorted ascending by (d2, idx)
+    d2n = np.asarray(d2)
+    assert np.all(np.diff(d2n, axis=1) >= 0)
+
+
+def test_topk_duplicates_ordered_by_index():
+    rng = np.random.default_rng(2)
+    q = rng.random((1, 3), np.float32)
+    r = rng.random((500, 3), np.float32) + 2.0
+    spots = (401, 77, 240, 333, 105)
+    for s in spots:
+        r[s] = q[0]
+    idx, d2 = topk_knn(q, r, 4)
+    np.testing.assert_array_equal(np.asarray(idx)[0], sorted(spots)[:4])
+    assert np.all(np.asarray(d2)[0] == 0.0)
+
+
+def test_topk_k1_matches_1nn():
+    rng = np.random.default_rng(3)
+    q = rng.random((6, 4), np.float32)
+    r = rng.random((3000, 4), np.float32)
+    idx, _ = topk_knn(q, r, 1)
+    np.testing.assert_array_equal(
+        np.asarray(idx)[:, 0], tpu_knn.nearest_neighbors(q, r))
+
+
+def test_topk_nnindex_and_api():
+    rng = np.random.default_rng(4)
+    ref = rng.random((10_000, 7), np.float32)
+    q = rng.random((3, 7), np.float32)
+    want = oracle_topk(q, ref, 6)
+    index = NNIndex(ref, strategy="fused")
+    gi, gd = index.query(q, neighbors=6)
+    np.testing.assert_array_equal(np.asarray(gi), want)
+    out = tpu_knn.nearest_neighbors(q, ref, neighbors=6)
+    np.testing.assert_array_equal(out, want)
+    # m=0 degenerate through the API
+    assert tpu_knn.nearest_neighbors(
+        np.zeros((0, 7), np.float32), ref, neighbors=6).shape == (0, 6)
+
+
+def test_topk_validation():
+    rng = np.random.default_rng(5)
+    q = rng.random((2, 3), np.float32)
+    r = rng.random((50, 3), np.float32)
+    with pytest.raises(ValueError, match="neighbors"):
+        topk_knn(q, r, 51)  # K > n
+    with pytest.raises(ValueError, match="neighbors"):
+        topk_knn(q, r, 0)
+    with pytest.raises(ValueError, match="neighbors"):
+        topk_knn(q, np.random.rand(MAX_NEIGHBORS + 10, 3).astype(np.float32),
+                 MAX_NEIGHBORS + 1)
+    with pytest.raises(ValueError, match="version"):
+        tpu_knn.nearest_neighbors(q, r, version="v4", neighbors=3)
+    index = NNIndex(r, strategy="kdtree")
+    with pytest.raises(ValueError, match="fused/auto"):
+        index.query(q, neighbors=2)

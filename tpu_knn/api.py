@@ -33,12 +33,32 @@ def knn_callback(k: int, m: int, n: int, search, ref, version: str | None = None
     return v(k, m, n, np.asarray(search, np.float32), np.asarray(ref, np.float32))
 
 
-def nearest_neighbors(search, ref, version: str | None = None) -> np.ndarray:
-    """Array-first wrapper: search (m,k), ref (n,k) -> (m,) int32 indices."""
+def nearest_neighbors(search, ref, version: str | None = None,
+                      neighbors: int | None = None) -> np.ndarray:
+    """Array-first wrapper: search (m,k), ref (n,k) -> (m,) int32 indices.
+
+    neighbors=K (a serving extension beyond the reference's 1-NN contract)
+    returns (m, K) indices, each row ascending by exact (squared distance,
+    index) — v0's tie rule extended to K results (kernels/topk.py).
+    `version` selects among the 1-NN engines and is incompatible with it.
+    """
     search = np.asarray(search, np.float32)
     ref = np.asarray(ref, np.float32)
     m, k = search.shape
     n, k2 = ref.shape
     if k != k2:
         raise ValueError(f"dimension mismatch: search k={k}, ref k={k2}")
+    if neighbors is not None and neighbors != 1:
+        if version is not None:
+            raise ValueError(
+                "neighbors>1 uses the banded top-K pipeline; it cannot be "
+                "combined with an explicit 1-NN version")
+        if m == 0:
+            return np.empty((0, neighbors), np.int32)
+        from tpu_knn.kernels.topk import topk_knn
+
+        import jax
+
+        idx, _d2 = topk_knn(search, ref, neighbors)
+        return np.asarray(jax.device_get(idx), np.int32)
     return knn_callback(k, m, n, search, ref, version=version)

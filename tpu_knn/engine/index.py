@@ -207,10 +207,17 @@ class NNIndex:
             return 1 << max(0, m - 1).bit_length()
         return max(8, 1 << (m - 1).bit_length())
 
-    def query(self, search):
+    def query(self, search, neighbors: int | None = None):
         """search (m, k) -> (idx (m,) i32, d2 (m,) f32) arrays (device
         arrays for device strategies; host arrays from the CPU-native
-        KD-tree backend)."""
+        KD-tree backend).
+
+        neighbors=K (serving extension beyond the reference's 1-NN
+        contract; fused/auto strategies) returns (idx (m, K), d2 (m, K)),
+        rows ascending by exact (d2, index) — K banded sweeps over the
+        prepared operand (kernels/topk.py)."""
+        if neighbors is not None and neighbors != 1:
+            return self._query_topk(search, neighbors)
         m = search.shape[0]
         if self.strategy == "kdtree" and self.use_native_query:
             # CPU-native backend: keep everything on the host (a device
@@ -255,6 +262,28 @@ class NNIndex:
         run = _build_prepared_query(m, self.n, self.k, tile_m,
                                     self.tile_n, self.precision)
         return run, (self.r_ops, self.ref_dev)
+
+    def _query_topk(self, search, neighbors: int):
+        from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_topk
+
+        if self.strategy not in ("fused", "auto") or len(self.r_ops) != 1:
+            raise ValueError(
+                "neighbors>1 requires the fused/auto strategy (prepared "
+                f"SoA operand); this index uses {self.strategy!r}")
+        if not (1 <= neighbors <= min(self.n, MAX_NEIGHBORS)):
+            raise ValueError(
+                f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})], "
+                f"got {neighbors}")
+        search = jnp.asarray(search, jnp.float32)
+        m = search.shape[0]
+        mb = self._m_bucket(m) if self.bucket_m else m
+        if mb != m:
+            search = jnp.concatenate(
+                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        run = _build_topk(mb, self.n, self.k, neighbors,
+                          self.r_ops[0].shape[1], self.precision)
+        idx, d2 = run(search, self.r_ops, self.ref_dev)
+        return idx[:m], d2[:m]
 
     def _query_padded(self, search, m_true: int):
         m = search.shape[0]

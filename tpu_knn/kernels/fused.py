@@ -466,6 +466,113 @@ def _build_fused_candidates(m: int, n: int, k: int,
     return candidates
 
 
+def _fused_banded_kernel(q_ref, r_ref, bs_ref, bi_ref, out_i_ref, out_s_ref,
+                         best_s, best_i, *,
+                         n: int, tile_n: int, n_tiles: int,
+                         precision: str):
+    """Lex-banded variant of _fused_kernel for top-K sweeps: elements with
+    (score, col) lexicographically <= the per-query bound are masked to
+    +inf BEFORE the fold. The bound is a previously-REPORTED point's score
+    from this very kernel, so the comparison is approx-vs-approx and the
+    exclusion is bit-exact — the excluded point's lane then yields its
+    runner-up (per-lane top-1 state is enough for K passes)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, jnp.inf)
+        best_i[:] = jnp.full_like(best_i, _I32_MAX)
+
+    s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
+    tile_m = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
+    b_s = bs_ref[:]  # (tile_m, 1)
+    b_i = bi_ref[:]
+    eligible = ((s > b_s) | ((s == b_s) & (col > b_i))) & (col < n)
+    s = jnp.where(eligible, s, jnp.inf)
+
+    cur_s, cur_i = _fold_scores(s, j * tile_n, best_s[:], best_i[:])
+    best_s[:] = cur_s
+    best_i[:] = cur_i
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_i_ref[:] = cur_i
+        out_s_ref[:] = cur_s
+
+
+@functools.lru_cache(maxsize=None)
+def _build_banded_candidates(m: int, n: int, k: int,
+                             tile_m: int, tile_n: int,
+                             precision: str = DEFAULT_PRECISION,
+                             n_ops: int | None = None):
+    """(search (m,k), SoA ref, bound_s (m,1), bound_i (m,1)) ->
+    (idx (m,128) i32, score (m,128) f32): the fused candidate stage
+    restricted to candidates lexicographically ABOVE the per-query bound
+    (see kernels/topk.py). SoA only; scores are the same arithmetic as
+    the unbanded kernel, so bounds from earlier passes compare bit-exactly."""
+    if tile_n % 128 != 0 or tile_m % 8 != 0:
+        raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
+    k_pad = round_up(k, 8)
+    m_pad = round_up(m, tile_m)
+    # n_ops: serve an operand wider than this geometry needs (whole extra
+    # padding tiles, e.g. NNIndex's own tiling) — masked by col < n.
+    n_pad = n_ops if n_ops is not None else round_up(n, tile_n)
+    if n_pad < n or n_pad % tile_n != 0:
+        raise ValueError(f"operand width {n_pad} incompatible with "
+                         f"n={n}, tile_n={tile_n}")
+    m_tiles = m_pad // tile_m
+    n_tiles = n_pad // tile_n
+    out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_fused_banded_kernel, n=n, tile_n=tile_n,
+                          n_tiles=n_tiles, precision=precision),
+        grid=(m_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, 128), jnp.float32),
+            pltpu.VMEM((tile_m, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=m_pad * k_pad * 4 + n_pad * k_pad * 4 + m_pad * 1024,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )
+
+    def prep_soa(ref):
+        return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
+
+    def candidates(search, ref_ops, bound_s, bound_i):
+        (r_op,) = ref_ops
+        if r_op.shape != (k_pad, n_pad):
+            raise ValueError(
+                f"operand shape {r_op.shape} != ({k_pad}, {n_pad})")
+        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
+        bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
+                     constant_values=jnp.inf)
+        bi = jnp.pad(bound_i, ((0, m_pad - m), (0, 0)))
+        ci, cs = call(q, r_op, bs, bi)
+        return ci[:m], cs[:m]
+
+    candidates.prep_soa = prep_soa
+    return candidates
+
+
 @functools.lru_cache(maxsize=None)
 def _build_fused(m: int, n: int, k: int,
                  tile_m: int, tile_n: int, soa: bool,
