@@ -52,6 +52,27 @@ def test_topk_duplicates_ordered_by_index():
     assert np.all(np.asarray(d2)[0] == 0.0)
 
 
+def test_topk_engines_differential():
+    """The sweep engine (one read, per-lane K-state) and the K-pass banded
+    engine select by the same (kernel-score, index) lex rule over the same
+    score arithmetic — outputs must match exactly, including planted
+    duplicate ties."""
+    rng = np.random.default_rng(11)
+    q = rng.random((16, 5), np.float32)
+    r = rng.random((7000, 5), np.float32)
+    r[303] = r[5999]  # exact duplicate pair crossing the candidate lanes
+    r[42] = q[3]
+    for kk in (2, 7, 32):
+        si, sd = topk_knn(q, r, kk, method="sweep")
+        pi, pd = topk_knn(q, r, kk, method="passes")
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi))
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(pd))
+    # K above the sweep limit routes to passes; explicit sweep raises
+    from tpu_knn.kernels.topk import SWEEP_MAX_NEIGHBORS
+    with pytest.raises(ValueError, match="sweep"):
+        topk_knn(q, r, SWEEP_MAX_NEIGHBORS + 1, method="sweep")
+
+
 def test_topk_k1_matches_1nn():
     rng = np.random.default_rng(3)
     q = rng.random((6, 4), np.float32)
