@@ -147,3 +147,71 @@ def test_dryrun_multichip_self_provisions(monkeypatch):
 
     monkeypatch.delenv("TPU_KNN_DRYRUN_CHILD", raising=False)
     __graft_entry__.dryrun_multichip(16)  # 16 > the 8 devices we have
+
+
+# ---- sharded top-K (the serving extension over the v8 sharding) ----
+
+def oracle_topk(q, r, kk):
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    return np.array(
+        [np.lexsort((np.arange(len(row)), row))[:kk] for row in d2])
+
+
+@pytest.mark.parametrize("method", ["sweep", "passes"])
+def test_sharded_topk_matches_oracle(method):
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+
+    rng = np.random.default_rng(7)
+    q = rng.random((9, 5), np.float32)
+    r = rng.random((12_000, 5), np.float32)
+    idx, d2 = sharded_topk_knn(q, r, 6, mesh=default_mesh(dp=1, sp=8),
+                               method=method)
+    np.testing.assert_array_equal(np.asarray(idx), oracle_topk(q, r, 6))
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.asarray(d2),
+        np.take_along_axis(D, oracle_topk(q, r, 6), 1), rtol=1e-6)
+
+
+def test_sharded_topk_duplicates_across_shards():
+    """Exact duplicates planted in different sp shards must come back
+    ordered by global index — the K-deep analog of the 1-NN
+    tie-across-shards test."""
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+
+    rng = np.random.default_rng(8)
+    n = 16_384
+    q = rng.random((3, 4), np.float32)
+    r = rng.random((n, 4), np.float32) + 2.0
+    shard = n // 8
+    spots = [5 * shard + 11, 1 * shard + 3, 7 * shard + 200, 3 * shard + 9]
+    for s in spots:
+        r[s] = q[1]
+    idx, d2 = sharded_topk_knn(q, r, 4, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx)[1], sorted(spots))
+    assert np.all(np.asarray(d2)[1] == 0.0)
+
+
+def test_sharded_topk_dp2_sp4_and_multislice():
+    from tpu_knn.distributed.sharded import multislice_mesh, sharded_topk_knn
+
+    rng = np.random.default_rng(9)
+    q = rng.random((32, 6), np.float32)
+    r = rng.random((7_777, 6), np.float32)   # ragged across shards
+    want = oracle_topk(q, r, 5)
+    idx, _ = sharded_topk_knn(q, r, 5, mesh=default_mesh(dp=2, sp=4))
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    idx, _ = sharded_topk_knn(q, r, 5, mesh=multislice_mesh(dcn=2, dp=2, sp=2))
+    np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+def test_sharded_topk_k_exceeds_smallest_shard():
+    """K larger than the ragged trailing shard's real row count: the
+    short shard contributes +inf fillers that must lose the merge."""
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+
+    rng = np.random.default_rng(10)
+    q = rng.random((4, 3), np.float32)
+    r = rng.random((1030, 3), np.float32)   # last shard has ~6 real rows
+    idx, _ = sharded_topk_knn(q, r, 16, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx), oracle_topk(q, r, 16))

@@ -26,6 +26,28 @@ import numpy as np
 _I32_MAX = np.int32(2**31 - 1)
 
 
+def topk_allreduce(d2, idx, axis_name: str, kk: int):
+    """Merge per-shard exact top-K lists over `axis_name`.
+
+    d2 (m, K) f32 / idx (m, K) i32: each shard's locally-best K pairs,
+    rows ascending by (d2, idx). Returns the globally-best K, replicated
+    across the axis, rows ascending by (d2, idx) — exact duplicate
+    distances are bit-equal across shards (same diff-form arithmetic on
+    the same values), so ties resolve to the lowest global index.
+
+    Wire cost: one allgather of m*K*8 B per shard — K times the 1-NN
+    min-index allreduce's, still microscopic next to the per-shard scan
+    (see docs/PERF_NOTES.md). The merge is a (m, P*K) two-key sort.
+    """
+    m = d2.shape[0]
+    g_d2 = jax.lax.all_gather(d2, axis_name)    # (P, m, K)
+    g_idx = jax.lax.all_gather(idx, axis_name)
+    g_d2 = jnp.transpose(g_d2, (1, 0, 2)).reshape(m, -1)
+    g_idx = jnp.transpose(g_idx, (1, 0, 2)).reshape(m, -1)
+    g_d2, g_idx = jax.lax.sort((g_d2, g_idx), dimension=-1, num_keys=2)
+    return g_d2[:, :kk], g_idx[:, :kk]
+
+
 def min_index_allreduce(d2, idx, axis_name: str, method: str = "pmin"):
     """Reduce per-query (d2, idx) pairs over `axis_name`.
 

@@ -150,6 +150,100 @@ def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
     return tile_n, n_local, n_local * num_shards
 
 
+@functools.lru_cache(maxsize=None)
+def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
+                        topk_method: str = "auto"):
+    """Mesh-sharded exact top-K: per-shard single-chip top-K engine
+    (kernels/topk.py — the sweep or banded engine by its own m*K rule),
+    global index rebase, then a top-K merge allreduce (collectives.py)
+    staged sp-then-dcn like the 1-NN reduction."""
+    from tpu_knn.distributed.collectives import topk_allreduce
+    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.topk import _build_topk, _sweep_tiles, _auto_method
+    from tpu_knn.kernels.tuning import pick_tiles
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    dcn = mesh.shape.get("dcn", 1)
+    has_dcn = "dcn" in mesh.shape
+    ref_axes = ("dcn", "sp") if has_dcn else ("sp",)
+    num_shards = dcn * sp
+    m_pad = round_up(m, dp * 8)
+    m_local = m_pad // dp
+    precision = auto_precision(k, n)
+    method = (_auto_method(m_local, kk)
+              if topk_method == "auto" else topk_method)
+    if method == "sweep":
+        _, tile_n = _sweep_tiles(k, m_local, cdiv(n, num_shards), kk,
+                                 precision)
+    else:
+        _, tile_n = pick_tiles(k, m_local, cdiv(n, num_shards))
+    n_local = round_up(cdiv(n, num_shards), tile_n)
+    n_pad = n_local * num_shards
+    k_pad = round_up(k, 8)
+    # The LOCAL valid count is n_local everywhere: trailing-shard padding
+    # rows carry PAD_VALUE, whose exact diff-form distance is +inf — they
+    # can enter a shard's local list only when the shard has fewer than K
+    # real rows, and then lose the global merge to finite candidates
+    # (sum over shards of finite candidates >= min(n, K) >= K).
+    local_run = _build_topk(m_local, n_local, k, kk, n_local, precision,
+                            method)
+
+    def shard_fn(q_local, r_local):
+        r_op = (r_local.T if k_pad == k
+                else jnp.pad(r_local, ((0, 0), (0, k_pad - k))).T,)
+        idx, d2 = local_run(q_local, r_op, r_local)   # (m_local, kk)
+        shard_id = jax.lax.axis_index("sp").astype(jnp.int32)
+        if has_dcn:
+            shard_id = shard_id + jax.lax.axis_index("dcn").astype(jnp.int32) * sp
+        gidx = jnp.where(idx >= 0, idx + shard_id * n_local,
+                         np.int32(2**31 - 1))
+        d2, gidx = topk_allreduce(d2, gidx, "sp", kk)
+        if has_dcn:
+            d2, gidx = topk_allreduce(d2, gidx, "dcn", kk)
+        return gidx, d2
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(ref_axes, None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(search, ref):
+        q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
+        ref = jnp.pad(ref, ((0, n_pad - n), (0, 0)),
+                      constant_values=PAD_VALUE)
+        idx, d2 = mapped(q, ref)
+        return idx[:m], d2[:m]
+
+    return run
+
+
+def sharded_topk_knn(search, ref, neighbors: int, *,
+                     mesh: Mesh | None = None, method: str = "auto"):
+    """Mesh-sharded exact top-K (the serving extension, kernels/topk.py,
+    over the v8-style reference sharding). Returns (idx (m, K) i32,
+    d2 (m, K) f32) device arrays, rows ascending by exact (d2, index).
+    `method` picks the per-shard engine ("sweep"/"passes"/"auto")."""
+    from tpu_knn.kernels.topk import MAX_NEIGHBORS
+
+    search = jnp.asarray(search, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    m, k = search.shape
+    n = ref.shape[0]
+    if not (1 <= neighbors <= min(n, MAX_NEIGHBORS)):
+        raise ValueError(
+            f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})] = "
+            f"[1, {min(n, MAX_NEIGHBORS)}], got {neighbors}")
+    if mesh is None:
+        mesh = default_mesh()
+    run = _build_sharded_topk(m, n, k, neighbors, mesh, method)
+    return run(search, ref)
+
+
 def sharded_knn(search, ref, *, mesh: Mesh | None = None,
                 method: str = "pmin"):
     """Mesh-sharded exact 1-NN. Returns (idx (m,), d2 (m,)) device arrays."""
