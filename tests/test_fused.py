@@ -111,3 +111,26 @@ def test_top_t_selection_many_exact_ties():
     idx7, _ = twolevel_knn(q, r, parts=4)
     assert int(idx7[1]) == min(spots)
     np.testing.assert_array_equal(np.asarray(idx7), oracle_knn(q, r))
+
+
+def test_dense_small_n_path():
+    """Small reference sets route fused_knn to the dense exact path
+    (kernels/dense.py) — exact diff-form distances and the strict
+    lowest-index tie rule by construction."""
+    import jax
+
+    from tpu_knn.kernels.dense import dense_applicable, dense_knn
+    from tpu_knn.oracle import oracle_knn
+
+    assert dense_applicable(1024, 3, 1024)          # the ds5 regime
+    assert not dense_applicable(1024, 3, 65536)     # ds6 stays streaming
+    assert not dense_applicable(1 << 14, 16, 4096)  # elems cap
+    rng = np.random.default_rng(21)
+    q = rng.random((64, 6), np.float32)
+    r = rng.random((2000, 6), np.float32)
+    r[1500] = r[3]                                  # duplicate: lowest wins
+    q[5] = r[3]
+    idx, d2 = dense_knn(q, r)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(idx)),
+                                  oracle_knn(q, r))
+    assert np.asarray(idx)[5] == 3 and np.asarray(d2)[5] == 0.0

@@ -680,6 +680,13 @@ def fused_knn(search, ref, *, soa: bool = True,
 
         if smallm_applicable(m, k, n):
             return smallm_knn(search, ref)
+        # Small reference sets skip the streaming pipeline entirely: the
+        # dense exact path beats the fold/select/rerank fixed costs below
+        # a few thousand points (kernels/dense.py).
+        from tpu_knn.kernels.dense import dense_applicable, dense_knn
+
+        if dense_applicable(m, k, n):
+            return dense_knn(search, ref)
     if precision is None:
         precision = auto_precision(k, n)
     # Wide tiles require the packed dot to ACTUALLY fit (an explicit
