@@ -142,3 +142,107 @@ def test_query_m_bucketing_single_compile():
     q = rng.random((9, 5), np.float32)
     idx, _ = index.query(q)
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+
+
+# ---- mutable (dynamic-update) index ----
+
+def _brute(q, r):
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    return np.argmin(d2, axis=1)
+
+
+def test_mutable_add_query():
+    rng = np.random.default_rng(30)
+    r = rng.random((500, 4), np.float32)
+    ix = NNIndex(r, mutable=True)
+    assert ix.n_live == 500
+    q = rng.random((6, 4), np.float32)
+    idx, _ = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), _brute(q, r))
+    # add points ON the queries: they must become the new winners with
+    # the ids add() returned
+    ids = ix.add(q[:3])
+    np.testing.assert_array_equal(ids, [500, 501, 502])
+    assert ix.n_live == 503
+    idx, d2 = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(idx)[:3], ids)
+    np.testing.assert_array_equal(np.asarray(d2)[:3], np.zeros(3, np.float32))
+    np.testing.assert_array_equal(np.asarray(idx)[3:], _brute(q[3:], r))
+
+
+def test_mutable_remove_and_reinstate_order():
+    rng = np.random.default_rng(31)
+    r = rng.random((300, 3), np.float32)
+    q = rng.random((4, 3), np.float32)
+    ix = NNIndex(r, mutable=True)
+    win = _brute(q, r)
+    ix.remove(np.unique(win))
+    idx, d2 = ix.query(q)
+    # removed winners never come back; result = brute force on the rest
+    live = np.setdiff1d(np.arange(300), np.unique(win))
+    want = live[_brute(q, r[live])]
+    np.testing.assert_array_equal(np.asarray(idx), want)
+    # removing twice is an error; out-of-range is an error
+    with pytest.raises(ValueError, match="already removed"):
+        ix.remove(win[0])
+    with pytest.raises(ValueError, match="out of range"):
+        ix.remove(10_000)
+
+
+def test_mutable_growth_and_ids_stable():
+    rng = np.random.default_rng(32)
+    r = rng.random((100, 5), np.float32)
+    ix = NNIndex(r, mutable=True)
+    cap0 = ix.capacity
+    pts = rng.random((cap0, 5), np.float32) + 3.0   # force growth
+    ids = ix.add(pts)
+    assert ix.capacity > cap0
+    assert ids[0] == 100 and ids[-1] == 100 + cap0 - 1
+    # a query equal to an early added point still reports its stable id
+    q = pts[:2]
+    idx, d2 = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), ids[:2])
+    np.testing.assert_array_equal(np.asarray(d2), np.zeros(2, np.float32))
+
+
+def test_mutable_topk_skips_removed():
+    rng = np.random.default_rng(33)
+    r = rng.random((2000, 4), np.float32)
+    q = rng.random((2, 4), np.float32)
+    ix = NNIndex(r, mutable=True)
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    top = np.argsort(d2[0], kind="stable")[:3]
+    ix.remove(top)                       # kill query 0's whole top-3
+    gi, gd = ix.query(q, neighbors=4)
+    live = np.setdiff1d(np.arange(2000), top)
+    want0 = live[np.lexsort((live, d2[0, live]))[:4]]
+    np.testing.assert_array_equal(np.asarray(gi)[0], want0)
+
+
+def test_mutable_compact_remaps_ids():
+    rng = np.random.default_rng(34)
+    r = rng.random((64, 3), np.float32)
+    ix = NNIndex(r, mutable=True)
+    ix.remove(np.arange(0, 64, 2))       # drop evens
+    mapping = ix.compact()
+    assert mapping.shape == (64,)
+    assert (mapping[0::2] == -1).all()
+    np.testing.assert_array_equal(mapping[1::2], np.arange(32))
+    assert ix.n_live == 32
+    q = r[1:2]                           # old id 1 -> new id 0
+    idx, d2 = ix.query(q)
+    assert np.asarray(idx)[0] == 0 and np.asarray(d2)[0] == 0.0
+
+
+def test_mutable_guards():
+    rng = np.random.default_rng(35)
+    r = rng.random((50, 3), np.float32)
+    with pytest.raises(ValueError, match="mutable"):
+        NNIndex(r, strategy="kdtree", mutable=True)
+    ix = NNIndex(r, strategy="fused")
+    with pytest.raises(ValueError, match="mutable"):
+        ix.add(r[:2])
+    ix = NNIndex(r, mutable=True)
+    ix.remove(np.arange(50))
+    with pytest.raises(ValueError, match="no live points"):
+        ix.query(r[:1])

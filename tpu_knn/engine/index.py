@@ -87,9 +87,19 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
     return run
 
 
+#: Sentinel coordinate for empty/removed slots in a mutable index: its
+#: exact diff-form distance to any in-contract query overflows f32 to
+#: +inf and its norm-trick score is +inf, so every kernel (fused fold,
+#: small-m diff form, top-K state) excludes the slot with NO masking —
+#: updates therefore never change compiled geometry. Same constant, same
+#: reasoning as the sharded path's shard padding (distributed/sharded.py).
+PAD_VALUE = 1e30
+
+
 class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
-                 precision: str | None = None):
+                 precision: str | None = None, mutable: bool = False,
+                 capacity: int | None = None):
         # Device-only strategies take `ref` as-is (a jax array stays on
         # device — no host round trip, which costs seconds over the dev
         # tunnel at n=2^24); host-side builds (kdtree, sharded pre-pad)
@@ -98,10 +108,21 @@ class NNIndex:
             ref = np.ascontiguousarray(ref, np.float32)
         self.n, self.k = ref.shape
         self.strategy = strategy
+        self.mutable = mutable
+        if mutable and strategy != "fused":
+            # The spatial indexes (projection sort, KD-tree) and the mesh
+            # pre-shard bake the point ORDER into their structure; updates
+            # there are rebuilds (use compact()/reconstruction). The fused
+            # strategy's prepared operand is position-indexed, so it
+            # updates in place.
+            raise ValueError(
+                "mutable=True requires strategy='fused' (order-free "
+                f"prepared operand); {strategy!r} bakes point order into "
+                "its build — rebuild instead")
         if precision is None:
             from tpu_knn.kernels.fused import auto_precision
 
-            precision = auto_precision(self.k, self.n)
+            precision = auto_precision(self.k, max(self.n, capacity or 0))
         self.precision = precision
         if strategy in ("fused", "auto"):
             # tile_n is fixed at prepare time; pick for a large-batch query
@@ -111,6 +132,9 @@ class NNIndex:
             # silently used tile_n=2048 instead of the packed path's 8192.
             _, self.tile_n = pick_tiles(self.k, 1024, self.n,
                                         wide=precision == "packed")
+            if mutable:
+                self._init_mutable(jnp.asarray(ref, jnp.float32), capacity)
+                return
             # Kernel operands prepared once on device (SoA layout; for the
             # default bf16x3 path: bf16 hi/lo splits + f32 norms).
             builder = _build_fused_candidates(8, self.n, self.k, 8,
@@ -165,6 +189,137 @@ class NNIndex:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
+    # ---- mutable (dynamic-update) machinery -------------------------
+
+    @property
+    def _n_eff(self):
+        """The n every compiled pipeline is built for: the logical count
+        for static indexes, the slot capacity for mutable ones (where
+        empty/removed slots self-exclude via the PAD_VALUE sentinel)."""
+        return self.capacity if self.mutable else self.n
+
+    @property
+    def n_live(self) -> int:
+        """Number of queryable points (static: n; mutable: adds minus
+        removes — slot ids of removed points are never reused)."""
+        return int(self._live[: self._n_slots].sum()) if self.mutable else self.n
+
+    def _init_mutable(self, ref_dev, capacity: int | None):
+        n = self.n
+        self.capacity = round_up(max(capacity or 0, 2 * n, 1024), self.tile_n)
+        k_pad = round_up(self.k, 8)
+        fill = jnp.full((self.capacity - n, self.k), PAD_VALUE, jnp.float32)
+        self.ref_dev = jnp.concatenate([ref_dev, fill])
+        # SoA operand: k zero-padded on sublanes (distance-neutral),
+        # empty slots PAD_VALUE across ALL k_pad sublanes (score +inf;
+        # the zero query padding contributes 0 * PAD to the dot).
+        r_op = jnp.pad(self.ref_dev, ((0, 0), (0, k_pad - self.k))).T
+        r_op = r_op.at[:, n:].set(PAD_VALUE)
+        self.r_ops = (r_op,)
+        jax.block_until_ready(self.r_ops)
+        self._n_slots = n                     # next free slot
+        self._live = np.zeros(self.capacity, bool)
+        self._live[:n] = True
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _build_add(k: int, k_pad: int, p: int):
+        """One-dispatch append of a (p, k) block at a runtime position."""
+
+        @jax.jit
+        def upd(ref_dev, r_op, pts, pos):
+            ref_dev = jax.lax.dynamic_update_slice(ref_dev, pts, (pos, 0))
+            blk = jnp.pad(pts, ((0, 0), (0, k_pad - k))).T
+            r_op = jax.lax.dynamic_update_slice(r_op, blk, (0, pos))
+            return ref_dev, r_op
+
+        return upd
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _build_remove(k: int, k_pad: int, p: int):
+        @jax.jit
+        def upd(ref_dev, r_op, ids):
+            ref_dev = ref_dev.at[ids].set(PAD_VALUE)
+            r_op = r_op.at[:, ids].set(PAD_VALUE)
+            return ref_dev, r_op
+
+        return upd
+
+    def _require_mutable(self):
+        if not self.mutable:
+            raise ValueError(
+                "this index is immutable; build with NNIndex(..., "
+                "mutable=True) for add/remove/compact")
+
+    def add(self, points) -> np.ndarray:
+        """Append points; returns their stable ids ((p,) int32 — the index
+        values future queries report). Device-side in-place update: no
+        recompilation unless capacity grows (then amortized doubling)."""
+        self._require_mutable()
+        points = jnp.asarray(points, jnp.float32)
+        if points.ndim != 2 or points.shape[1] != self.k:
+            raise ValueError(f"points must be (p, {self.k}), "
+                             f"got {points.shape}")
+        p = points.shape[0]
+        if p == 0:
+            return np.empty(0, np.int32)
+        if self._n_slots + p > self.capacity:
+            self._grow(self._n_slots + p)
+        upd = self._build_add(self.k, round_up(self.k, 8), p)
+        self.ref_dev, r_op = upd(self.ref_dev, self.r_ops[0], points,
+                                 jnp.int32(self._n_slots))
+        self.r_ops = (r_op,)
+        ids = np.arange(self._n_slots, self._n_slots + p, dtype=np.int32)
+        self._n_slots += p
+        self._live[ids] = True
+        return ids
+
+    def remove(self, ids) -> None:
+        """Remove points by id. Their slots become PAD sentinels (never
+        reported again); capacity is not reclaimed until compact()."""
+        self._require_mutable()
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if ids.size == 0:
+            return
+        if ids.min() < 0 or ids.max() >= self._n_slots:
+            raise ValueError(f"ids out of range [0, {self._n_slots})")
+        if not self._live[ids].all():
+            dead = ids[~self._live[ids]]
+            raise ValueError(f"ids already removed: {dead.tolist()[:8]}")
+        upd = self._build_remove(self.k, round_up(self.k, 8), ids.size)
+        self.ref_dev, r_op = upd(self.ref_dev, self.r_ops[0],
+                                 jnp.asarray(ids, jnp.int32))
+        self.r_ops = (r_op,)
+        self._live[ids] = False
+
+    def _grow(self, need: int):
+        new_cap = round_up(max(2 * self.capacity, need), self.tile_n)
+        pad_n = new_cap - self.capacity
+        self.ref_dev = jnp.concatenate(
+            [self.ref_dev,
+             jnp.full((pad_n, self.k), PAD_VALUE, jnp.float32)])
+        self.r_ops = (jnp.pad(self.r_ops[0], ((0, 0), (0, pad_n)),
+                              constant_values=PAD_VALUE),)
+        live = np.zeros(new_cap, bool)
+        live[: self.capacity] = self._live
+        self._live = live
+        self.capacity = new_cap
+
+    def compact(self) -> np.ndarray:
+        """Defragment: drop removed slots and shrink capacity. Point ids
+        CHANGE; returns the (old_slots,) int32 mapping old id -> new id
+        (-1 for removed points)."""
+        self._require_mutable()
+        live_ids = np.nonzero(self._live[: self._n_slots])[0]
+        mapping = np.full(self._n_slots, -1, np.int32)
+        mapping[live_ids] = np.arange(live_ids.size, dtype=np.int32)
+        ref_live = jnp.take(self.ref_dev, jnp.asarray(live_ids, jnp.int32),
+                            axis=0)
+        self.n = int(live_ids.size)
+        self._init_mutable(ref_live, None)
+        return mapping
+
     #: Certification hit rate the build-time probe must clear for "auto"
     #: to enable projection serving.
     CERT_RATE_MIN = 0.9
@@ -216,6 +371,8 @@ class NNIndex:
         contract; fused/auto strategies) returns (idx (m, K), d2 (m, K)),
         rows ascending by exact (d2, index) — K banded sweeps over the
         prepared operand (kernels/topk.py)."""
+        if self.mutable and self.n_live < 1:
+            raise ValueError("index has no live points")
         if neighbors is not None and neighbors != 1:
             return self._query_topk(search, neighbors)
         m = search.shape[0]
@@ -255,11 +412,12 @@ class NNIndex:
                 f"{self.strategy!r}")
         from tpu_knn.kernels.smallm import smallm_applicable
 
-        if smallm_applicable(m, self.k, self.n) and len(self.r_ops) == 1:
-            return (_build_smallm_prepared(m, self.n, self.k),
+        n = self._n_eff
+        if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
+            return (_build_smallm_prepared(m, n, self.k),
                     (self.r_ops, self.ref_dev))
-        tile_m, _ = pick_tiles(self.k, m, self.n)
-        run = _build_prepared_query(m, self.n, self.k, tile_m,
+        tile_m, _ = pick_tiles(self.k, m, n)
+        run = _build_prepared_query(m, n, self.k, tile_m,
                                     self.tile_n, self.precision)
         return run, (self.r_ops, self.ref_dev)
 
@@ -270,17 +428,17 @@ class NNIndex:
             raise ValueError(
                 "neighbors>1 requires the fused/auto strategy (prepared "
                 f"SoA operand); this index uses {self.strategy!r}")
-        if not (1 <= neighbors <= min(self.n, MAX_NEIGHBORS)):
+        if not (1 <= neighbors <= min(self.n_live, MAX_NEIGHBORS)):
             raise ValueError(
-                f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})], "
-                f"got {neighbors}")
+                f"neighbors must be in [1, min(n_live, {MAX_NEIGHBORS})] "
+                f"= [1, {min(self.n_live, MAX_NEIGHBORS)}], got {neighbors}")
         search = jnp.asarray(search, jnp.float32)
         m = search.shape[0]
         mb = self._m_bucket(m) if self.bucket_m else m
         if mb != m:
             search = jnp.concatenate(
                 [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
-        run = _build_topk(mb, self.n, self.k, neighbors,
+        run = _build_topk(mb, self._n_eff, self.k, neighbors,
                           self.r_ops[0].shape[1], self.precision)
         idx, d2 = run(search, self.r_ops, self.ref_dev)
         return idx[:m], d2[:m]
@@ -306,14 +464,15 @@ class NNIndex:
                 self.last_strategy = "fused"
             from tpu_knn.kernels.smallm import smallm_applicable
 
-            if smallm_applicable(m, self.k, self.n) and len(self.r_ops) == 1:
+            n = self._n_eff
+            if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
                 # The diff-form VPU kernel serves tiny batches off the
                 # very same SoA operand (still the "fused" strategy — a
                 # kernel choice, not a route).
-                run = _build_smallm_prepared(m, self.n, self.k)
+                run = _build_smallm_prepared(m, n, self.k)
                 return run(search, self.r_ops, self.ref_dev)
-            tile_m, _ = pick_tiles(self.k, m, self.n)
-            run = _build_prepared_query(m, self.n, self.k, tile_m,
+            tile_m, _ = pick_tiles(self.k, m, n)
+            run = _build_prepared_query(m, n, self.k, tile_m,
                                         self.tile_n, self.precision)
             return run(search, self.r_ops, self.ref_dev)
         if self.strategy == "projection":
