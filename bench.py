@@ -440,6 +440,69 @@ def main():
               f"({errs_v10}/1024 vs native kdtree)", file=sys.stderr,
               flush=True)
 
+        # Exact top-K serving rows (kernels/topk.py): the sweep engine in
+        # its auto-selected niche (small batch, one reference read) and
+        # the K-pass banded engine at batch scale. Gate: the two engines
+        # are independent implementations selecting by the same rule —
+        # each row's answer is diffed on device against the OTHER engine.
+        from tpu_knn.kernels.fused import auto_precision
+        from tpu_knn.kernels.topk import _build_topk, _sweep_tiles
+        from tpu_knn.kernels.tuning import pick_tiles
+        from tpu_knn.utils.shapes import round_up
+
+        def topk_runner(m_t, n_t, k_t, kk, method, r_t):
+            """(run(q, r_op, r_t), r_op) — operands passed as jit ARGS,
+            not closure constants (see _amplified_runner's 413 note)."""
+            prec = auto_precision(k_t, n_t)
+            tile_n = (_sweep_tiles(k_t, m_t, n_t, kk, prec)[1]
+                      if method == "sweep"
+                      else pick_tiles(k_t, m_t, n_t)[1])
+            n_ops = round_up(n_t, tile_n)
+            run = _build_topk(m_t, n_t, k_t, kk, n_ops, prec, method)
+            k_pad = round_up(k_t, 8)
+            r_op = jnp.pad(r_t, ((0, n_ops - n_t), (0, k_pad - k_t))).T
+            return (lambda qq, r_op, r_t: run(qq, (r_op,), r_t)), r_op
+
+        kq = jax.random.fold_in(key, 120)
+        k_t, n_t, kk = 16, 1 << 20, 8
+        r_t = jax.random.uniform(jax.random.fold_in(kq, 2), (n_t, k_t),
+                                 jnp.float32)
+        for name, m_t, method, other in (
+                ("topk_serving_8x2^20_k16_K8_sweep", 8, "sweep", "passes"),
+                ("topk_batch_1024x2^20_k16_K8_passes", 1024, "passes",
+                 "sweep")):
+            q_t = jax.random.uniform(jax.random.fold_in(kq, m_t), (m_t, k_t),
+                                     jnp.float32)
+            mine, my_op = topk_runner(m_t, n_t, k_t, kk, method, r_t)
+            twin, tw_op = topk_runner(m_t, n_t, k_t, kk, other, r_t)
+            ti, td = mine(q_t, my_op, r_t)
+            oi, od = twin(q_t, tw_op, r_t)
+            errs_t = int(jax.device_get(jnp.sum(ti != oi)))
+            total_t = m_t * kk
+
+            def tk_step(i, c, q_t, my_op, r_t, mine=mine):
+                ia, da = mine(q_t + i.astype(jnp.float32) * 1e-9, my_op, r_t)
+                return c + da[0, 0] + ia[0, 0].astype(jnp.float32) * 1e-9
+
+            tk_ms, tk_iters = calibrated_amplified_ms(tk_step, q_t, my_op,
+                                                      r_t)
+            details["rows"].append({
+                "name": name,
+                "k": k_t, "m": m_t, "n": n_t, "neighbors": kk,
+                "ms": round(tk_ms, 3),
+                "timing": f"amplified x{tk_iters}",
+                "errors": f"{errs_t}/{total_t}",
+                "gate": f"on-device differential vs the {other} engine",
+                "note": "exact top-K (serving extension beyond the "
+                        "reference's 1-NN contract)",
+            })
+            if errs_t:
+                print(f"CORRECTNESS FAILURE on {name}: {errs_t}/{total_t}",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# {name}: {tk_ms:.3f} ms errors {errs_t}/{total_t}",
+                  file=sys.stderr, flush=True)
+
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
 

@@ -246,3 +246,62 @@ def test_mutable_guards():
     ix.remove(np.arange(50))
     with pytest.raises(ValueError, match="no live points"):
         ix.query(r[:1])
+
+
+# ---- checkpoint/resume (NNIndex.save/load) ----
+
+def test_save_load_fused(tmp_path):
+    rng = np.random.default_rng(40)
+    r = rng.random((4000, 6), np.float32)
+    q = rng.random((5, 6), np.float32)
+    ix = NNIndex(r, strategy="fused")
+    want, _ = ix.query(q)
+    p = str(tmp_path / "ix.npz")
+    ix.save(p)
+    back = NNIndex.load(p)
+    got, _ = back.query(q)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_save_load_mutable_preserves_ids(tmp_path):
+    rng = np.random.default_rng(41)
+    r = rng.random((300, 4), np.float32)
+    ix = NNIndex(r, mutable=True)
+    ids = ix.add(rng.random((10, 4), np.float32) - 2.0)
+    ix.remove(ids[:5])
+    p = str(tmp_path / "mut.npz")
+    ix.save(p)
+    back = NNIndex.load(p)
+    assert back.mutable and back.n_live == ix.n_live
+    q = np.asarray(ix.ref_dev[ids[5]])[None]   # a live added point
+    idx, d2 = back.query(q)
+    assert np.asarray(idx)[0] == ids[5] and np.asarray(d2)[0] == 0.0
+    # removed slots stay dead after restore
+    import jax
+    gi, _ = back.query(rng.random((3, 4), np.float32), neighbors=8)
+    assert not np.isin(np.asarray(jax.device_get(gi)), ids[:5]).any()
+    # ids keep flowing from the restored watermark
+    new = back.add(rng.random((2, 4), np.float32))
+    np.testing.assert_array_equal(new, [310, 311])
+
+
+def test_save_load_kdtree_no_rebuild(tmp_path):
+    rng = np.random.default_rng(42)
+    r = rng.random((5000, 3), np.float32)
+    q = rng.random((16, 3), np.float32)
+    ix = NNIndex(r, strategy="kdtree")
+    want, _ = ix.query(q)
+    p = str(tmp_path / "kd.npz")
+    ix.save(p)
+    back = NNIndex.load(p)
+    np.testing.assert_array_equal(back.tree.p, ix.tree.p)  # same build
+    got, _ = back.query(q)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_save_sharded_rejected(tmp_path):
+    rng = np.random.default_rng(43)
+    r = rng.random((4096, 3), np.float32)
+    ix = NNIndex(r, strategy="sharded")
+    with pytest.raises(ValueError, match="sharded"):
+        ix.save(str(tmp_path / "sh.npz"))

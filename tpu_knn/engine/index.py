@@ -320,6 +320,76 @@ class NNIndex:
         self._init_mutable(ref_live, None)
         return mapping
 
+    # ---- checkpoint/resume ------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist the index (KDTree.save's sibling — the reference has
+        no checkpoint story, SURVEY.md §5, because it rebuilds per call).
+
+        Saves the point set + metadata; load() re-prepares the device
+        operands (sub-second — the layout is recomputed, the POINTS and,
+        for mutable indexes, the slot/id state are what a restore must
+        preserve). kdtree strategy delegates to KDTree.save's format so
+        the host build is not repaid. The sharded strategy is excluded:
+        a mesh binds to the live process's devices — re-shard on restore.
+        """
+        if self.strategy == "sharded":
+            raise ValueError("sharded indexes bind to live devices; "
+                             "save the points and rebuild on restore")
+        meta = dict(strategy=self.strategy, precision=self.precision,
+                    mutable=self.mutable)
+        if self.strategy == "kdtree":
+            np.savez_compressed(path, ref=self.ref, p=self.tree.p,
+                                dim=self.tree.dim,
+                                split_val=self.tree.split_val, **meta)
+            return
+        if self.mutable:
+            # Slot array as-is (removed slots are PAD sentinels) + the
+            # live mask: ids survive the round trip.
+            np.savez_compressed(
+                path, ref=np.asarray(self.ref_dev[: self._n_slots]),
+                live=self._live[: self._n_slots], **meta)
+            return
+        np.savez_compressed(path, ref=np.asarray(self.ref_dev), **meta)
+
+    @classmethod
+    def load(cls, path: str) -> "NNIndex":
+        with np.load(path) as z:
+            strategy = str(z["strategy"])
+            mutable = bool(z["mutable"])
+            precision = str(z["precision"])
+            ref = z["ref"]
+            if strategy == "kdtree":
+                # Restore WITHOUT repaying the host build (the point of
+                # persisting a tree — reference README.md:334-343 splits
+                # build from query cost for the same reason).
+                from tpu_knn import native
+                from tpu_knn.kdtree.build import KDTree
+                from tpu_knn.kdtree.traversal import DeviceKDTree
+
+                ix = cls.__new__(cls)
+                ix.ref = np.ascontiguousarray(ref, np.float32)
+                ix.n, ix.k = ix.ref.shape
+                ix.strategy = "kdtree"
+                ix.mutable = False
+                ix.precision = precision
+                ix.tree = KDTree(ref=ix.ref, p=z["p"], dim=z["dim"],
+                                 split_val=z["split_val"])
+                ix.use_native_query = native.available()
+                ix.dev_tree = (DeviceKDTree(ix.tree)
+                               if ix.k <= 8 and not ix.use_native_query
+                               else None)
+                return ix
+            if mutable:
+                # Rebuild from the SLOT array (dead slots are already PAD
+                # sentinels in it), then restore liveness — ids preserved.
+                live = z["live"]
+                ix = cls(ref, strategy=strategy, precision=precision,
+                         mutable=True)
+                ix._live[: ix._n_slots] = live
+                return ix
+            return cls(ref, strategy=strategy, precision=precision)
+
     #: Certification hit rate the build-time probe must clear for "auto"
     #: to enable projection serving.
     CERT_RATE_MIN = 0.9
