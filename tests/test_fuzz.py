@@ -1,0 +1,122 @@
+"""Randomized differential fuzzing: every registered version against the
+serial oracle on adversarial inputs (SURVEY.md §4 — the reference's only
+gate is 8 fixed shapes; this sweeps the shape/data space it never visits).
+
+Data recipes deliberately provoke the failure modes the engines guard
+against: quantized coordinates (dense exact-tie groups stress every
+reducer's lowest-index rule), planted duplicates, near-duplicate pairs
+(catastrophic-cancellation regime for the norm-trick score), degenerate
+shapes (n=1, m=1, k=1), and k above the packed-dot boundary."""
+
+import numpy as np
+import pytest
+
+from tpu_knn.api import knn_callback
+from tpu_knn.engine.registry import list_versions
+from tpu_knn.oracle import oracle_knn
+
+CASES = [
+    # (seed, k, m, n, recipe)
+    (0, 1, 1, 1, "uniform"),
+    (1, 1, 7, 33, "quantized"),
+    (2, 2, 3, 1000, "duplicates"),
+    (3, 3, 17, 999, "quantized"),
+    (4, 3, 32, 2048, "near-dup"),
+    (5, 5, 1, 4096, "uniform"),
+    (6, 8, 24, 1500, "duplicates"),
+    (7, 13, 5, 700, "quantized"),
+    (8, 16, 9, 2000, "near-dup"),
+    (9, 31, 4, 512, "uniform"),
+    (10, 33, 3, 400, "quantized"),   # past the packed-dot k boundary
+    (11, 40, 2, 300, "duplicates"),
+]
+
+
+def make_data(seed, k, m, n, recipe):
+    rng = np.random.default_rng(seed)
+    q = rng.random((m, k), np.float32)
+    r = rng.random((n, k), np.float32)
+    if recipe == "quantized":
+        # One decimal: huge exact-tie groups in every distance reducer.
+        q = np.round(q, 1).astype(np.float32)
+        r = np.round(r, 1).astype(np.float32)
+    elif recipe == "duplicates":
+        for _ in range(min(n // 4, 50)):
+            a, b = rng.integers(0, n, 2)
+            r[a] = r[b]
+        for i in range(min(m, n, 4)):
+            r[rng.integers(0, n)] = q[i]
+    elif recipe == "near-dup":
+        # Offsets ~1e-6: exact diff-form separates them, the norm-trick
+        # score alone cannot — exercises the refinement stage.
+        base = rng.random((1, k), np.float32)
+        r[: n // 2] = base + rng.normal(0, 1e-6, (n // 2, k)).astype(np.float32)
+        q[: max(m // 2, 1)] = base
+    return q, r
+
+
+@pytest.mark.parametrize("seed,k,m,n,recipe", CASES)
+def test_fuzz_all_versions(seed, k, m, n, recipe):
+    from tpu_knn.harness.checker import check_results
+
+    q, r = make_data(seed, k, m, n, recipe)
+    want = oracle_knn(q, r)
+    d2 = ((q[:, None, :].astype(np.float64)
+           - r[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    for v in list_versions():
+        got = knn_callback(k, m, n, q, r, version=v)
+        if np.array_equal(got, want):
+            continue
+        # The harness rule (main.cu:88-95): a differing index is accepted
+        # only when the true distances tie within +-1e-3. On top of that,
+        # assert the engines sit ORDERS OF MAGNITUDE inside the gate: any
+        # index swap must be a genuine near-tie (f64 squared-distance gap
+        # <= 1e-6 — quantized one-decimal data produces f32-rounding
+        # near-ties at the 1e-8 scale that different-but-exact arithmetic
+        # forms may legitimately order differently; anything larger is a
+        # real selection bug the +-1e-3 gate could mask).
+        errors, total = check_results(want, got, q, r)
+        assert errors == 0, f"{v} on {recipe} (k={k},m={m},n={n})"
+        bad = np.nonzero(got != want)[0]
+        gaps = np.abs(d2[bad, got[bad]] - d2[bad, want[bad]])
+        assert gaps.max() <= 1e-6, (
+            f"{v} on {recipe} (k={k},m={m},n={n}): swap with gap "
+            f"{gaps.max():.3e} at rows {bad[gaps > 1e-6][:4].tolist()}")
+
+
+def test_fuzz_topk_random():
+    from tpu_knn.kernels.topk import topk_knn
+
+    rng = np.random.default_rng(99)
+    for _ in range(6):
+        k = int(rng.integers(1, 12))
+        m = int(rng.integers(1, 20))
+        n = int(rng.integers(32, 3000))
+        kk = int(rng.integers(1, min(n, 33)))
+        recipe = ["uniform", "quantized", "duplicates"][int(rng.integers(3))]
+        q, r = make_data(int(rng.integers(1 << 30)), k, m, n, recipe)
+        idx, d2 = topk_knn(q, r, kk)
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+        tag = f"(k={k},m={m},n={n},K={kk},{recipe})"
+        D = ((q[:, None, :].astype(np.float64)
+              - r[None, :, :].astype(np.float64)) ** 2).sum(-1)
+        want_d = np.sort(D, axis=1)[:, :kk]
+        # Rank-wise distances must match the f64 oracle within fp noise
+        # (quantized data creates 1e-9 near-ties whose ORDER f32 cannot
+        # resolve — the same tolerance class as the 1-NN gate)…
+        got_d = np.take_along_axis(D, idx, axis=1)
+        np.testing.assert_allclose(got_d, want_d, atol=1e-6, rtol=0,
+                                   err_msg=tag)
+        # …rows must be valid, duplicate-free, and sorted by (d2, idx)…
+        for row_i, row_d in zip(idx, d2):
+            assert len(set(row_i.tolist())) == kk, tag
+            pairs = list(zip(row_d.tolist(), row_i.tolist()))
+            assert pairs == sorted(pairs), tag
+        # …and wherever a rank is UNAMBIGUOUS (no other reference point
+        # within 1e-6 of its distance), the exact index is required.
+        for qi in range(m):
+            for pos in range(kk):
+                close = np.abs(D[qi] - want_d[qi, pos]) <= 1e-6
+                if close.sum() == 1:
+                    assert idx[qi, pos] == int(np.nonzero(close)[0][0]), (
+                        f"{tag} q{qi} rank{pos}")
