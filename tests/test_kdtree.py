@@ -203,3 +203,49 @@ def test_native_vs_numpy_build_adversarial_variance(data):
 
     idx_nq, _ = native_mod.kdtree_query(q, ref, nat.p, nat.dim)
     np.testing.assert_array_equal(idx_nq, want)
+
+
+def test_native_kdtree_topk():
+    """Native CPU tree K-NN (tk_kdtree_query_topk): exact rows ascending
+    by (d2, index), duplicate ties by lowest index, n<K tail filled."""
+    from tpu_knn import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(60)
+    r = rng.random((5000, 5), np.float32)
+    q = rng.random((64, 5), np.float32)
+    r[777] = r[33]                        # duplicate pair
+    q[3] = r[33]
+    p, dim = native.kdtree_build(r)
+    idx, d2 = native.kdtree_query_topk(q, r, p, dim, 7)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    want = np.array([np.lexsort((np.arange(5000), row))[:7] for row in D])
+    np.testing.assert_array_equal(idx, want)
+    assert idx[3, 0] == 33 and idx[3, 1] == 777 and d2[3, 1] == 0.0
+    # n < K: tail is -1 / +inf
+    r2 = r[:3]
+    p2, dim2 = native.kdtree_build(r2)
+    i2, dd2 = native.kdtree_query_topk(q[:2], r2, p2, dim2, 5)
+    assert (i2[:, 3:] == -1).all() and np.isinf(dd2[:, 3:]).all()
+    D2 = ((q[:2, None, :] - r2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(i2[:, :3], np.argsort(D2, 1, kind="stable"))
+
+
+def test_nnindex_kdtree_topk():
+    from tpu_knn import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(61)
+    r = rng.random((3000, 4), np.float32)
+    q = rng.random((10, 4), np.float32)
+    ix = NNIndex(r, strategy="kdtree")
+    idx, d2 = ix.query(q, neighbors=5)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    want = np.array([np.lexsort((np.arange(3000), row))[:5] for row in D])
+    np.testing.assert_array_equal(idx, want)
+    with pytest.raises(ValueError, match="neighbors"):
+        ix.query(q, neighbors=0)

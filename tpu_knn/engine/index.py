@@ -494,10 +494,23 @@ class NNIndex:
     def _query_topk(self, search, neighbors: int):
         from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_topk
 
+        if self.strategy == "kdtree" and self.use_native_query:
+            # Native CPU tree K-NN: bounded (d2, idx) max-heap per query
+            # with the same lex tie rule (tpuknn_native.cc:
+            # tk_kdtree_query_topk); host in, host out — like 1-NN here.
+            from tpu_knn import native
+
+            if not (1 <= neighbors <= self.n):
+                raise ValueError(
+                    f"neighbors must be in [1, {self.n}], got {neighbors}")
+            return native.kdtree_query_topk(
+                np.ascontiguousarray(search, np.float32), self.ref,
+                self.tree.p, self.tree.dim, neighbors)
         if self.strategy not in ("fused", "auto") or len(self.r_ops) != 1:
             raise ValueError(
                 "neighbors>1 requires the fused/auto strategy (prepared "
-                f"SoA operand); this index uses {self.strategy!r}")
+                "SoA operand) or the native kdtree backend; this index "
+                f"uses {self.strategy!r}")
         if not (1 <= neighbors <= min(self.n_live, MAX_NEIGHBORS)):
             raise ValueError(
                 f"neighbors must be in [1, min(n_live, {MAX_NEIGHBORS})] "

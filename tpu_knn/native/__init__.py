@@ -46,6 +46,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.tk_kdtree_query_topk.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.tk_version.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # missing compiler, etc.
@@ -141,3 +146,25 @@ def kdtree_query(
         k, m, n, _ptr(search), _ptr(ref), _ptr(p), _ptr(dim), _ptr(idx), _ptr(dist)
     )
     return idx, dist
+
+
+def kdtree_query_topk(
+    search: np.ndarray, ref: np.ndarray, p: np.ndarray, dim: np.ndarray,
+    neighbors: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Native KD-tree CPU top-K query: (idx (m, K) i32, d2 (m, K) f32),
+    rows ascending by (d2, index); tail filled -1/+inf when n < K."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    search = np.ascontiguousarray(search, np.float32)
+    ref = np.ascontiguousarray(ref, np.float32)
+    m, k = search.shape
+    n = ref.shape[0]
+    idx = np.empty((m, neighbors), dtype=np.int32)
+    d2 = np.empty((m, neighbors), dtype=np.float32)
+    lib.tk_kdtree_query_topk(
+        k, m, n, neighbors, _ptr(search), _ptr(ref), _ptr(p), _ptr(dim),
+        _ptr(idx), _ptr(d2)
+    )
+    return idx, d2

@@ -267,6 +267,84 @@ void tk_kdtree_query(int k, int m, int n, const float* search,
   }
 }
 
+// Top-K traversal (serving extension — no reference analog): a bounded
+// max-heap of (d2, idx) per query, lex-ordered so equal distances keep
+// the LOWEST index set (v0's tie rule extended to K). Prune rule matches
+// the 1-NN traversal: descend the far child while delta^2 <= the current
+// k-th best (or the heap is not yet full).
+
+struct TkTopkEntry {
+  float d2;
+  int32_t idx;
+};
+
+// Strict lex (d2, idx) "a nearer than b"; used as the heap comparator so
+// the heap front is the lex-LARGEST (worst) of the kept K.
+static bool tk_nearer(const TkTopkEntry& a, const TkTopkEntry& b) {
+  return a.d2 < b.d2 || (a.d2 == b.d2 && a.idx < b.idx);
+}
+
+static void kd_ask_topk_rec(const QueryCtx& ctx, int64_t node, const float* q,
+                            int K, std::vector<TkTopkEntry>& heap) {
+  if (node >= ctx.cap || ctx.p[node] < 0) return;
+  const int32_t pi = ctx.p[node];
+  const float* r = ctx.ref + (int64_t)pi * ctx.k;
+  float acc = 0.0f;
+  for (int t = 0; t < ctx.k; t++) {
+    const float diff = q[t] - r[t];
+    acc += diff * diff;
+  }
+  const TkTopkEntry cur{acc, pi};
+  if ((int)heap.size() < K) {
+    heap.push_back(cur);
+    std::push_heap(heap.begin(), heap.end(), tk_nearer);
+  } else if (tk_nearer(cur, heap.front())) {
+    std::pop_heap(heap.begin(), heap.end(), tk_nearer);
+    heap.back() = cur;
+    std::push_heap(heap.begin(), heap.end(), tk_nearer);
+  }
+  const int d = ctx.dim[node];
+  const float delta = q[d] - r[d];
+  const int64_t near_child = delta < 0 ? 2 * node : 2 * node + 1;
+  const int64_t far_child = delta < 0 ? 2 * node + 1 : 2 * node;
+  kd_ask_topk_rec(ctx, near_child, q, K, heap);
+  if ((int)heap.size() < K || delta * delta <= heap.front().d2) {
+    kd_ask_topk_rec(ctx, far_child, q, K, heap);
+  }
+}
+
+// out_idx/out_d2 are (m, K) row-major; when n < K the row tail is filled
+// with idx -1 / d2 +inf. Rows are sorted ascending by (d2, idx).
+void tk_kdtree_query_topk(int k, int m, int n, int K, const float* search,
+                          const float* ref, const int32_t* p,
+                          const int32_t* dim, int32_t* out_idx,
+                          float* out_d2) {
+  QueryCtx ctx;
+  ctx.k = k;
+  ctx.ref = ref;
+  ctx.p = p;
+  ctx.dim = dim;
+  ctx.cap = 4LL * n;
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int i = 0; i < m; i++) {
+    std::vector<TkTopkEntry> heap;
+    heap.reserve(K);
+    kd_ask_topk_rec(ctx, 1, search + (int64_t)i * k, K, heap);
+    std::sort(heap.begin(), heap.end(), tk_nearer);
+    int32_t* oi = out_idx + (int64_t)i * K;
+    float* od = out_d2 + (int64_t)i * K;
+    for (int j = 0; j < K; j++) {
+      if (j < (int)heap.size()) {
+        oi[j] = heap[j].idx;
+        od[j] = heap[j].d2;
+      } else {
+        oi[j] = -1;
+        od[j] = std::numeric_limits<float>::infinity();
+      }
+    }
+  }
+}
+
 int tk_version() { return 1; }
 
 }  // extern "C"
