@@ -305,3 +305,20 @@ def test_save_sharded_rejected(tmp_path):
     ix = NNIndex(r, strategy="sharded")
     with pytest.raises(ValueError, match="sharded"):
         ix.save(str(tmp_path / "sh.npz"))
+
+
+def test_mutable_single_query_smallm_path():
+    """m=1 routes through the diff-form small-batch kernel; PAD sentinel
+    slots must self-exclude there too (capacity semantics)."""
+    rng = np.random.default_rng(36)
+    r = rng.random((600, 6), np.float32)
+    q = rng.random((1, 6), np.float32)
+    ix = NNIndex(r, mutable=True)
+    win = int(_brute(q, r)[0])
+    ix.remove(win)
+    idx, d2 = ix.query(q)
+    live = np.setdiff1d(np.arange(600), [win])
+    assert np.asarray(idx)[0] == live[_brute(q, r[live])[0]]
+    ids = ix.add(q)          # exact match added -> wins at d2=0
+    idx, d2 = ix.query(q)
+    assert np.asarray(idx)[0] == ids[0] and np.asarray(d2)[0] == 0.0
