@@ -29,6 +29,7 @@ CASES = [
     (9, 31, 4, 512, "uniform"),
     (10, 33, 3, 400, "quantized"),   # past the packed-dot k boundary
     (11, 40, 2, 300, "duplicates"),
+    (12, 300, 6, 900, "quantized"),   # wide-k: multi-pass score ladder
 ]
 
 
