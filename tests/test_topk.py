@@ -110,6 +110,17 @@ def test_topk_validation():
                  MAX_NEIGHBORS + 1)
     with pytest.raises(ValueError, match="version"):
         tpu_knn.nearest_neighbors(q, r, version="v4", neighbors=3)
+    # kdtree + native backend now SERVES top-K (tk_kdtree_query_topk);
+    # only the strategies without a position-indexed operand or native
+    # tree refuse.
+    from tpu_knn import native
+
     index = NNIndex(r, strategy="kdtree")
+    if native.available():
+        gi, _ = index.query(q, neighbors=2)
+        d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(
+            gi, np.argsort(d2, axis=1, kind="stable")[:, :2])
+    index = NNIndex(r, strategy="sharded")
     with pytest.raises(ValueError, match="fused/auto"):
         index.query(q, neighbors=2)

@@ -27,13 +27,25 @@ Public API:
 from tpu_knn.api import nearest_neighbors, knn_callback
 from tpu_knn.engine.registry import get_version, list_versions, register_version
 
+#: Lazily-imported public symbols (PEP 562): the serving index (a real
+#: CLASS — classmethods like NNIndex.load work), exact top-K, and the
+#: mesh-sharded entry points. Lazy so `import tpu_knn` stays light and
+#: does not touch jax device state.
+_LAZY = {
+    "NNIndex": ("tpu_knn.engine.index", "NNIndex"),
+    "topk_knn": ("tpu_knn.kernels.topk", "topk_knn"),
+    "sharded_knn": ("tpu_knn.distributed.sharded", "sharded_knn"),
+    "sharded_topk_knn": ("tpu_knn.distributed.sharded", "sharded_topk_knn"),
+}
 
-def NNIndex(*args, **kwargs):
-    """Build-once / query-many serving index (lazy import; see
-    tpu_knn.engine.index.NNIndex)."""
-    from tpu_knn.engine.index import NNIndex as _NNIndex
 
-    return _NNIndex(*args, **kwargs)
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'tpu_knn' has no attribute {name!r}")
 
 
 __version__ = "0.1.0"
@@ -42,6 +54,9 @@ __all__ = [
     "nearest_neighbors",
     "knn_callback",
     "NNIndex",
+    "topk_knn",
+    "sharded_knn",
+    "sharded_topk_knn",
     "get_version",
     "list_versions",
     "register_version",
