@@ -124,3 +124,22 @@ def test_topk_validation():
     index = NNIndex(r, strategy="sharded")
     with pytest.raises(ValueError, match="fused/auto"):
         index.query(q, neighbors=2)
+
+
+def test_topk_bounded_pass_same_lane_duplicates():
+    """The m<=4 bounded two-pass route: duplicates planted in the SAME
+    128-lane slot (cols 128 apart) must all surface via one lane's K-deep
+    state, ordered by index — and boundary ties at the bound B (score ==
+    B) must be admitted by the (B, I32_MAX) seed."""
+    rng = np.random.default_rng(70)
+    q = rng.random((1, 3), np.float32)
+    r = rng.random((4000, 3), np.float32) + 2.0
+    spots = (100, 228, 356, 484, 612)           # same lane: 100 + 128*j
+    for s in spots:
+        r[s] = q[0]
+    idx, d2 = topk_knn(q, r, 5)
+    np.testing.assert_array_equal(np.asarray(idx)[0], spots)
+    assert np.all(np.asarray(d2)[0] == 0.0)
+    # K smaller than the tie group: lowest indices win
+    idx, _ = topk_knn(q, r, 3)
+    np.testing.assert_array_equal(np.asarray(idx)[0], spots[:3])

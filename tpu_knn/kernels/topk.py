@@ -6,14 +6,16 @@ Two engines with IDENTICAL selection semantics (differentially tested
 against each other):
 
 - "sweep" (auto-selected in the serving regime, m*K <= SWEEP_AUTO_BUDGET
-  and K <= SWEEP_MAX_NEIGHBORS): ONE pass over the
-  reference set with per-lane sorted K-deep (score, index) state in VMEM
-  scratch (_sweep_kernel). Each incoming 128-wide score chunk runs a
+  and K <= SWEEP_MAX_NEIGHBORS): per-lane sorted K-deep (score, index)
+  state in VMEM scratch. Each incoming 128-wide score chunk runs a
   K-level compare-exchange insertion chain; a tile-level skip guard
-  (`pl.when` on "any element beats some lane's current k-th best") makes
-  the steady-state fold cost one compare per element — improvements decay
-  harmonically over a random stream, so almost every tile skips. HBM
-  traffic: one read of R, same as 1-NN.
+  (`pl.when` on "any element beats some lane's current k-th best") lets
+  tiles that cannot improve the state pay one compare per element.
+  Two variants: m <= 4 runs a bound-seeded TWO-PASS diff-form pipeline
+  (per-lane top-1 pass -> provable K-th-score bound B -> K-state pass
+  seeded at (B, I32_MAX), making the guard reject almost every tile;
+  ~2 reference reads, near-K-independent); larger m runs the single MXU
+  sweep (one read; insertion amortized across tile_m query rows).
 - "passes": K lexicographically-banded 1-NN sweeps. Pass j re-runs the
   fused candidate kernel with every element whose (score, index) is
   lex-<= the previous pass's reported (score, index) masked out BEFORE
@@ -78,6 +80,26 @@ def _auto_method(m: int, kk: int) -> str:
     return "passes"
 
 
+def _kstate_insert(ls, li, new_s, new_i, kk: int):
+    """One compare-exchange insertion of a (rows, 128) chunk into the
+    per-lane sorted K-lists. The displaced worst element cascades down
+    and the K+1-th falls out, preserving the sorted lex invariant.
+
+    In-lane ties (new_s == ls[l]) need the index clause only for CASCADED
+    elements: fresh elements arrive in ascending col order, but a
+    displaced equal-score element carries a lower col than deeper levels
+    may hold."""
+    ls, li = list(ls), list(li)
+    for l in range(kk):
+        beats = (new_s < ls[l]) | ((new_s == ls[l]) & (new_i < li[l]))
+        old_s, old_i = ls[l], li[l]
+        ls[l] = jnp.where(beats, new_s, old_s)
+        li[l] = jnp.where(beats, new_i, old_i)
+        new_s = jnp.where(beats, old_s, new_s)
+        new_i = jnp.where(beats, old_i, new_i)
+    return tuple(ls), tuple(li)
+
+
 def _sweep_kernel(q_ref, r_ref, out_s_ref, out_i_ref, s_buf, *state, kk: int,
                   n: int, tile_n: int, n_tiles: int, precision: str):
     """Grid (m_tiles, n_tiles), n innermost. `state` is kk (score, index)
@@ -135,19 +157,7 @@ def _sweep_kernel(q_ref, r_ref, out_s_ref, out_i_ref, s_buf, *state, kk: int,
             ls, li = carry
             new_s = s_buf[:, pl.ds(c * 128, 128)]
             new_i = lane + (j * tile_n + c * 128)
-            ls, li = list(ls), list(li)
-            for l in range(kk):
-                # In-lane ties (new_s == ls[l]) need the index clause only
-                # for CASCADED elements: fresh elements arrive in ascending
-                # col order, but a displaced equal-score element carries a
-                # lower col than deeper levels may hold.
-                beats = (new_s < ls[l]) | ((new_s == ls[l]) & (new_i < li[l]))
-                old_s, old_i = ls[l], li[l]
-                ls[l] = jnp.where(beats, new_s, old_s)
-                li[l] = jnp.where(beats, new_i, old_i)
-                new_s = jnp.where(beats, old_s, new_s)
-                new_i = jnp.where(beats, old_i, new_i)
-            return tuple(ls), tuple(li)
+            return _kstate_insert(ls, li, new_s, new_i, kk)
 
         ls, li = jax.lax.fori_loop(
             0, chunks,
@@ -162,6 +172,151 @@ def _sweep_kernel(q_ref, r_ref, out_s_ref, out_i_ref, s_buf, *state, kk: int,
     def _():
         out_s_ref[:] = jnp.concatenate([r[:] for r in s_refs], axis=1)
         out_i_ref[:] = jnp.concatenate([r[:] for r in i_refs], axis=1)
+
+
+def _smallm_topk_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref, s_buf,
+                        *state,
+                        m: int, kk: int, n: int, tile_n: int, n_tiles: int):
+    """Small-batch variant: diff-form VPU scores (kernels/smallm.py — no
+    MXU packed-dot prep overhead at 8/128-row utilization) feeding the
+    same per-lane K-state insertion as _sweep_kernel. Queries arrive
+    transposed (k_pad, 128) like the smallm 1-NN kernel; rows >= m of the
+    state are garbage and sliced off outside.
+
+    BOUND SEEDING makes this pass near-K-independent: the K-state levels
+    initialize to (bs_ref row, I32_MAX) — a per-query upper bound B on
+    the global K-th score, obtained from a preceding per-lane top-1 pass
+    (the K-th smallest of 128 distinct lane minima is >= the global
+    K-th). Only elements lex-< (B, I32_MAX), i.e. score <= B, can enter,
+    so the tile-level skip guard rejects almost every tile outright and
+    the insertion chain runs ~K times total instead of per tile. The
+    sentinel (B, I32_MAX) entries that survive in underfilled lanes are
+    invalid indices and lose the final merge."""
+    j = pl.program_id(0)
+    s_refs = state[0::2]
+    i_refs = state[1::2]
+
+    @pl.when(j == 0)
+    def _():
+        for l in range(kk):
+            s_refs[l][:] = bs_ref[:]
+            i_refs[l][:] = jnp.full_like(i_refs[l], _I32_MAX)
+
+    r = r_ref[:]  # (k_pad, tile_n); zero-padded rows are distance-neutral
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + j * tile_n
+    hit = jnp.bool_(False)
+    worst = s_refs[kk - 1][:]
+    chunks = tile_n // 128
+    for i in range(m):
+        diff = r - q_ref[:, i:i + 1]
+        s = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, tile_n) exact
+        s = jnp.where(col < n, s, jnp.inf)
+        s_buf[i:i + 1, :] = s
+        hit = hit | jnp.any(
+            s.reshape(1, chunks, 128)
+            <= worst[i:i + 1, :].reshape(1, 1, 128))
+
+    @pl.when(hit)
+    def _():
+        tile_m = worst.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
+
+        def body(c, carry):
+            ls, li = carry
+            new_s = s_buf[:, pl.ds(c * 128, 128)]
+            new_i = lane + (j * tile_n + c * 128)
+            return _kstate_insert(ls, li, new_s, new_i, kk)
+
+        ls, li = jax.lax.fori_loop(
+            0, chunks, body,
+            (tuple(rr[:] for rr in s_refs), tuple(rr[:] for rr in i_refs)),
+        )
+        for l in range(kk):
+            s_refs[l][:] = ls[l]
+            i_refs[l][:] = li[l]
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_s_ref[:] = jnp.concatenate([rr[:] for rr in s_refs], axis=1)
+        out_i_ref[:] = jnp.concatenate([rr[:] for rr in i_refs], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
+                                  tile_n: int | None = None,
+                                  n_ops: int | None = None):
+    """(search (m,k), SoA ref ops) -> (idx (m, kk*128), score (m, kk*128)):
+    per-lane K-deep candidate lists from one diff-form sweep (m <= 4,
+    k <= 32 — the smallm regime). Scores are exact f32 diff-form, so the
+    final per-rank distances equal the selection scores."""
+    from tpu_knn.kernels.smallm import (
+        SMALLM_MAX_K, SMALLM_MAX_M, pick_tile_n,
+    )
+
+    if not (1 <= m <= SMALLM_MAX_M and 1 <= k <= SMALLM_MAX_K):
+        raise ValueError(f"smallm top-K serves m <= {SMALLM_MAX_M}, "
+                         f"k <= {SMALLM_MAX_K}; got m={m}, k={k}")
+    if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
+        raise ValueError(f"sweep engine serves K in [1, {SWEEP_MAX_NEIGHBORS}]")
+    if tile_n is None:
+        tile_n = pick_tile_n(k, n)
+    k_pad = round_up(k, 8)
+    n_pad = n_ops if n_ops is not None else round_up(n, tile_n)
+    if n_pad < n:
+        raise ValueError(f"operand width {n_pad} < n={n}")
+    tile_n = min(tile_n, n_pad)
+    while n_pad % tile_n != 0:
+        tile_n -= 128
+    n_tiles = n_pad // tile_n
+    m_out = 8
+    out_spec = pl.BlockSpec((m_out, kk * 128), lambda j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_smallm_topk_kernel, m=m, kk=kk, n=n,
+                          tile_n=tile_n, n_tiles=n_tiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k_pad, 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_out, 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_out, kk * 128), jnp.float32),
+                   jax.ShapeDtypeStruct((m_out, kk * 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((m_out, tile_n), jnp.float32)]
+                       + [pltpu.VMEM((m_out, 128), dt)
+                          for _ in range(kk)
+                          for dt in (jnp.float32, jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * m * n_pad * k_pad,
+            bytes_accessed=n_pad * k_pad * 4 + m_out * kk * 1024,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )
+
+    def prep_soa(ref):
+        return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
+
+    def candidates(search, ref_ops, bound_s):
+        """bound_s (m, 1) f32: per-query upper bound on the global K-th
+        score (see kernel docstring)."""
+        (r_op,) = ref_ops
+        if r_op.shape != (k_pad, n_pad):
+            raise ValueError(
+                f"operand shape {r_op.shape} != ({k_pad}, {n_pad})")
+        q = jnp.pad(search.T, ((0, k_pad - k), (0, 128 - m)))
+        bs = jnp.broadcast_to(
+            jnp.pad(bound_s, ((0, m_out - m), (0, 0)),
+                    constant_values=jnp.inf), (m_out, 128))
+        cs, ci = call(q, r_op, bs)
+        return ci[:m], cs[:m]
+
+    candidates.prep_soa = prep_soa
+    return candidates
 
 
 def _sweep_tiles(k: int, m: int, n: int, kk: int,
@@ -292,12 +447,39 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
     if method == "auto":
         method = _auto_method(m, kk)
     if method == "sweep":
-        tile_m, tile_n = _sweep_tiles(k, m, n, kk, precision)
-        tile_n = min(tile_n, n_ops)
-        while n_ops % tile_n != 0:
-            tile_n -= 128
-        candidates = _build_sweep_candidates(m, n, k, kk, tile_m, tile_n,
-                                             precision, n_ops=n_ops)
+        from tpu_knn.kernels.smallm import (
+            SMALLM_MAX_K, SMALLM_MAX_M, smallm_applicable,
+        )
+
+        if smallm_applicable(m, k, n):
+            # Tiny batches: two diff-form scans (kernels/smallm.py scores,
+            # no MXU packed-dot prep). Pass 1 is the existing per-lane
+            # top-1 kernel; the K-th smallest of its 128 per-lane minima
+            # is a provable upper bound B on the global K-th score (K
+            # distinct elements <= B exist), which seeds pass 2's K-state
+            # so its insertion chain runs ~K times total instead of per
+            # tile — near-K-independent: (16,1,2^24) K=8 5.31 -> 3.21 ms,
+            # K=16 9.21 -> 3.39 (PERF_NOTES "Bound-seeded two-pass").
+            from tpu_knn.kernels.smallm import _build_smallm_candidates
+
+            pass1 = _build_smallm_candidates(m, n, k)
+            pass2 = _build_smallm_topk_candidates(m, n, k, kk, n_ops=n_ops)
+
+            @jax.jit
+            def run(search, r_ops, ref_aos):
+                _i1, cs1 = pass1(search, r_ops)
+                bound = jnp.sort(cs1, axis=-1)[:, kk - 1:kk]   # (m, 1)
+                ci, cs = pass2(search, r_ops, bound)
+                return _finalize_topk(search, ref_aos, ci, cs, kk, n)
+
+            return run
+        else:
+            tile_m, tile_n = _sweep_tiles(k, m, n, kk, precision)
+            tile_n = min(tile_n, n_ops)
+            while n_ops % tile_n != 0:
+                tile_n -= 128
+            candidates = _build_sweep_candidates(m, n, k, kk, tile_m, tile_n,
+                                                 precision, n_ops=n_ops)
 
         @jax.jit
         def run(search, r_ops, ref_aos):
@@ -347,7 +529,12 @@ def _build_topk_percall(m: int, n: int, k: int, kk: int, precision: str,
     if method == "auto":
         method = _auto_method(m, kk)
     if method == "sweep":
-        _, tile_n = _sweep_tiles(k, m, n, kk, precision)
+        from tpu_knn.kernels.smallm import pick_tile_n, smallm_applicable
+
+        if smallm_applicable(m, k, n):
+            tile_n = pick_tile_n(k, n)
+        else:
+            _, tile_n = _sweep_tiles(k, m, n, kk, precision)
     else:
         _, tile_n = pick_tiles(k, m, n)
     n_ops = round_up(n, tile_n)
