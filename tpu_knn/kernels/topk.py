@@ -474,6 +474,15 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
             return run
         else:
+            # Batch regime: single unbounded MXU sweep. A bound-seeded
+            # two-pass MXU variant (pass 1 fused top-1 -> bound -> seeded
+            # sweep with a chunk-level lax.cond) was built and MEASURED
+            # WORSE here — m=1024/n=2^20/K=8: 92 ms vs 24.6 (passes) vs
+            # 58 (unbounded sweep): with tile_m query rows per tile, some
+            # row qualifies in almost every chunk, so the data-dependent
+            # branch pays its pipeline stall AND the insertion. Bound
+            # seeding only wins in the smallm regime above, where the
+            # whole state is 8 rows.
             tile_m, tile_n = _sweep_tiles(k, m, n, kk, precision)
             tile_n = min(tile_n, n_ops)
             while n_ops % tile_n != 0:
@@ -481,12 +490,12 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             candidates = _build_sweep_candidates(m, n, k, kk, tile_m, tile_n,
                                                  precision, n_ops=n_ops)
 
-        @jax.jit
-        def run(search, r_ops, ref_aos):
-            ci, cs = candidates(search, r_ops)
-            return _finalize_topk(search, ref_aos, ci, cs, kk, n)
+            @jax.jit
+            def run(search, r_ops, ref_aos):
+                ci, cs = candidates(search, r_ops)
+                return _finalize_topk(search, ref_aos, ci, cs, kk, n)
 
-        return run
+            return run
     if method != "passes":
         raise ValueError(f"unknown top-K method {method!r}")
     tile_m, tile_n = pick_tiles(k, m, n)
