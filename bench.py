@@ -464,13 +464,16 @@ def main():
             return (lambda qq, r_op, r_t: run(qq, (r_op,), r_t)), r_op
 
         kq = jax.random.fold_in(key, 120)
-        k_t, n_t, kk = 16, 1 << 20, 8
-        r_t = jax.random.uniform(jax.random.fold_in(kq, 2), (n_t, k_t),
-                                 jnp.float32)
-        for name, m_t, method, other in (
-                ("topk_serving_8x2^20_k16_K8_sweep", 8, "sweep", "passes"),
-                ("topk_batch_1024x2^20_k16_K8_passes", 1024, "passes",
-                 "sweep")):
+        for name, m_t, n_t, k_t, kk, method, other in (
+                # m=1 serving: the bound-seeded two-pass (near-K-independent)
+                ("topk_serving_1x2^24_k16_K16_bounded", 1, 1 << 24, 16, 16,
+                 "sweep", "passes"),
+                ("topk_serving_8x2^20_k16_K8_sweep", 8, 1 << 20, 16, 8,
+                 "sweep", "passes"),
+                ("topk_batch_1024x2^20_k16_K8_passes", 1024, 1 << 20, 16, 8,
+                 "passes", "sweep")):
+            r_t = jax.random.uniform(jax.random.fold_in(kq, 2 + k_t * n_t % 97),
+                                     (n_t, k_t), jnp.float32)
             q_t = jax.random.uniform(jax.random.fold_in(kq, m_t), (m_t, k_t),
                                      jnp.float32)
             mine, my_op = topk_runner(m_t, n_t, k_t, kk, method, r_t)
