@@ -445,6 +445,13 @@ def main():
         # the K-pass banded engine at batch scale. Gate: the two engines
         # are independent implementations selecting by the same rule —
         # each row's answer is diffed on device against the OTHER engine.
+        # Free the previous sections' device residents first: the two
+        # prepared m=1 indexes alone hold ~3 GB of 2^24-point operands,
+        # and the n=2^24 top-K row needs ~3 GB of its own (observed HBM
+        # ResourceExhausted without this).
+        del index, run_prep, ops, q1, r1, idx1, ops1, ia1
+        del rv, qv, pre, runner, out
+        del rk, qk, tree_index, dev_tree, qd, iv, dv, tree_ops, ik
         from tpu_knn.kernels.fused import auto_precision
         from tpu_knn.kernels.topk import _build_topk, _sweep_tiles
         from tpu_knn.kernels.tuning import pick_tiles
