@@ -26,18 +26,15 @@ import sys
 
 if __name__ == "__main__" and os.environ.get("MESH_SCALING_CHILD") != "1":
     # Self-provision the 8-device CPU mesh in a child process (the same
-    # trap/fix as __graft_entry__.dryrun_multichip: a sitecustomize imports
-    # jax before this file runs).
+    # trap/fix as __graft_entry__.dryrun_multichip; one shared definition
+    # of the workaround lives in tpu_knn.utils.platform).
     import subprocess
 
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tpu_knn.utils.platform import virtual_cpu_mesh_env
+
+    env = virtual_cpu_mesh_env(8)
     env["MESH_SCALING_CHILD"] = "1"
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform_device_count" not in f]
-    flags.append("--xla_force_host_platform_device_count=8")
-    env["XLA_FLAGS"] = " ".join(flags)
     raise SystemExit(subprocess.run([sys.executable, __file__], env=env).returncode)
 
 import jax

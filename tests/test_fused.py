@@ -134,3 +134,27 @@ def test_dense_small_n_path():
     np.testing.assert_array_equal(np.asarray(jax.device_get(idx)),
                                   oracle_knn(q, r))
     assert np.asarray(idx)[5] == 3 and np.asarray(d2)[5] == 0.0
+
+
+def test_refine_guard_large_magnitude_coordinates():
+    """Review regression: at coordinate scale ~4000 the packed-dot score
+    error (~2^-26 * |r|^2 ~ 1) exceeds unit distance gaps, and a plain
+    top-8 pre-selection by approximate score could drop the true nearest
+    lane entirely. The certified guard must detect the narrow margin and
+    fall back to the full-width exact rerank."""
+    import jax
+
+    from tpu_knn.kernels.fused import fused_knn
+
+    rng = np.random.default_rng(99)
+    k, n = 8, 4096
+    r = rng.uniform(2000.0, 4000.0, (n, k)).astype(np.float32)
+    q = r[4000].copy()[None]
+    q[0, 0] += 1.0                      # true NN at exact d2 = 1 (idx 4000)
+    decoys = rng.choice(np.setdiff1d(np.arange(n), [4000]), 40, replace=False)
+    for j, d in enumerate(decoys):      # 40 decoys at exact d2 = 4,
+        r[d] = q[0]                     # spread across distinct lanes
+        r[d, (j % k)] += 2.0
+    idx, d2 = fused_knn(q, r, tile_m=8, tile_n=512)  # MXU path (skip smallm)
+    assert int(np.asarray(jax.device_get(idx))[0]) == 4000
+    assert abs(float(np.asarray(jax.device_get(d2))[0]) - 1.0) < 1e-3

@@ -322,3 +322,12 @@ def test_mutable_single_query_smallm_path():
     ids = ix.add(q)          # exact match added -> wins at d2=0
     idx, d2 = ix.query(q)
     assert np.asarray(idx)[0] == ids[0] and np.asarray(d2)[0] == 0.0
+
+
+def test_index_accepts_array_likes():
+    """Review regression: non-ndarray array-likes (lists) must be coerced
+    for every strategy, not just kdtree/sharded."""
+    pts = [[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]]
+    ix = NNIndex(pts)
+    idx, d2 = ix.query(np.array([[1.9, 3.1]], np.float32))
+    assert int(np.asarray(idx)[0]) == 1

@@ -143,3 +143,31 @@ def test_topk_bounded_pass_same_lane_duplicates():
     # K smaller than the tie group: lowest indices win
     idx, _ = topk_knn(q, r, 3)
     np.testing.assert_array_equal(np.asarray(idx)[0], spots[:3])
+
+
+def test_sweep_tiles_stay_sublane_aligned():
+    """Review regression: VMEM-budget halving of tile_m must preserve the
+    multiple-of-8 invariant (88 -> 40, not 44, which the builder rejects
+    — crashed topk_knn(m=88, n=2^20, K=16, method='sweep'))."""
+    from tpu_knn.kernels.topk import _build_sweep_candidates, _sweep_tiles
+
+    for m, kk in ((88, 16), (200, 32), (1000, 8)):
+        tm, tn = _sweep_tiles(3, m, 1 << 20, kk, "packed")
+        assert tm % 8 == 0 and tn % 128 == 0, (m, kk, tm, tn)
+        _build_sweep_candidates(m, 1 << 20, 3, kk, tm, tn, "packed")
+
+
+def test_neighbors_one_returns_2d_rows():
+    """Review regression: neighbors=1 must honor the top-K contract
+    ((m, 1) rows) and the version-incompatibility check, not silently
+    fall through to the 1-NN path."""
+    rng = np.random.default_rng(80)
+    q = rng.random((5, 3), np.float32)
+    r = rng.random((400, 3), np.float32)
+    out = tpu_knn.nearest_neighbors(q, r, neighbors=1)
+    assert out.shape == (5, 1)
+    np.testing.assert_array_equal(out[:, 0], tpu_knn.nearest_neighbors(q, r))
+    gi, gd = NNIndex(r).query(q, neighbors=1)
+    assert np.asarray(gi).shape == (5, 1) and np.asarray(gd).shape == (5, 1)
+    with pytest.raises(ValueError, match="version"):
+        tpu_knn.nearest_neighbors(q, r, version="v4", neighbors=1)

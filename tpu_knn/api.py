@@ -38,9 +38,11 @@ def nearest_neighbors(search, ref, version: str | None = None,
     """Array-first wrapper: search (m,k), ref (n,k) -> (m,) int32 indices.
 
     neighbors=K (a serving extension beyond the reference's 1-NN contract)
-    returns (m, K) indices, each row ascending by exact (squared distance,
-    index) — v0's tie rule extended to K results (kernels/topk.py).
-    `version` selects among the 1-NN engines and is incompatible with it.
+    returns (m, K) indices — INCLUDING K=1, so callers parameterizing K
+    always get two-dimensional rows — each ascending by exact (squared
+    distance, index): v0's tie rule extended to K results
+    (kernels/topk.py). `version` selects among the 1-NN engines and is
+    incompatible with it.
     """
     search = np.asarray(search, np.float32)
     ref = np.asarray(ref, np.float32)
@@ -48,7 +50,7 @@ def nearest_neighbors(search, ref, version: str | None = None,
     n, k2 = ref.shape
     if k != k2:
         raise ValueError(f"dimension mismatch: search k={k}, ref k={k2}")
-    if neighbors is not None and neighbors != 1:
+    if neighbors is not None:
         if version is not None:
             raise ValueError(
                 "neighbors>1 uses the banded top-K pipeline; it cannot be "

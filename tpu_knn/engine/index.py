@@ -100,11 +100,12 @@ class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
                  precision: str | None = None, mutable: bool = False,
                  capacity: int | None = None):
-        # Device-only strategies take `ref` as-is (a jax array stays on
-        # device — no host round trip, which costs seconds over the dev
-        # tunnel at n=2^24); host-side builds (kdtree, sharded pre-pad)
-        # need a contiguous NumPy copy.
-        if strategy in ("kdtree", "sharded") or isinstance(ref, np.ndarray):
+        # Device-only strategies take a jax array as-is (no host round
+        # trip, which costs seconds over the dev tunnel at n=2^24);
+        # anything else (NumPy, lists, tuples) is coerced to a contiguous
+        # f32 NumPy array, and host-side builds (kdtree, sharded pre-pad)
+        # always need one.
+        if strategy in ("kdtree", "sharded") or not isinstance(ref, jax.Array):
             ref = np.ascontiguousarray(ref, np.float32)
         self.n, self.k = ref.shape
         self.strategy = strategy
@@ -438,12 +439,12 @@ class NNIndex:
         KD-tree backend).
 
         neighbors=K (serving extension beyond the reference's 1-NN
-        contract; fused/auto strategies) returns (idx (m, K), d2 (m, K)),
-        rows ascending by exact (d2, index) — K banded sweeps over the
-        prepared operand (kernels/topk.py)."""
+        contract) returns (idx (m, K), d2 (m, K)) — including K=1, so
+        callers parameterizing K always get two-dimensional rows —
+        ascending by exact (d2, index) (kernels/topk.py)."""
         if self.mutable and self.n_live < 1:
             raise ValueError("index has no live points")
-        if neighbors is not None and neighbors != 1:
+        if neighbors is not None:
             return self._query_topk(search, neighbors)
         m = search.shape[0]
         if self.strategy == "kdtree" and self.use_native_query:

@@ -615,44 +615,67 @@ def _exact_rerank(search, src, cand, n_valid, tie_src=None):
     return idx, jnp.squeeze(v, -1)
 
 
-#: Candidate lanes kept for the exact rerank. The true NN's lane winner
-#: ranks ~1st by approximate score (errors are <= 2^-26 relative on the
-#: packed path — orders of magnitude under the gate's +-1e-3), so T=8 has
-#: the same safety structure as refining all 128 lanes while cutting the
-#: rerank's random row gathers 16x (0.77 -> ~0.1 ms at ds11, 31% of the
-#: pipeline; see docs/PERF_NOTES.md).
+#: Candidate lanes kept for the exact rerank when the safety certificate
+#: holds (see _refine_guarded): cuts the rerank's random row gathers 16x
+#: (0.77 -> ~0.1 ms at ds11, 31% of the pipeline; docs/PERF_NOTES.md).
 REFINE_TOP_T = 8
 
 
-def _select_top(idx, score, t: int = REFINE_TOP_T):
-    """Keep the t lexicographically-(score, index)-smallest candidates per
-    row. Exact duplicates produce bit-identical scores, so every tied-at-
-    the-minimum group is extracted lowest-index-first — the global lowest-
-    index minimum always survives into the rerank (v0's tie rule)."""
-    if idx.shape[-1] <= t:
-        return idx
-    # Defensive: a NaN score would poison jnp.min and drop the whole row's
-    # candidates (the kernels never emit NaN for valid lanes, but user data
-    # containing NaN/inf is out of contract, not a reason to select wrong).
+#: Score-magnitude cutoff for the top-T pre-selection. The selection
+#: scores are approximate with error ~2^-26 * |score| (packed tier):
+#: their hazard regime is |score| >> d^2 — large-coordinate data, where
+#: the norm-trick cancellation lets the error rival REAL distance gaps
+#: and a top-T cut by approximate score can drop the true nearest lane
+#: (observed: unit-gap neighbors at coordinate scale ~4000, returning a
+#: d2=4 decoy over the true d2=1 — 1000x outside the +-1e-3 gate). At
+#: this cutoff the absolute error is <= 6e-5, orders below any gap the
+#: gate resolves for in-contract (unit-scale) data, whose scores stay
+#: ~O(k) — so the fast path is taken deterministically there. A per-row
+#: (T+1)-th-vs-T-th gap certificate was tried instead and rejected:
+#: benign near-ties trip it on ~every large batch (any-row semantics),
+#: silently degrading ds11 1.90 -> 2.55 ms.
+SELECT_SCORE_CUTOFF = 4096.0
+
+
+def _refine_guarded(search, ref, idx, score, n, t: int = REFINE_TOP_T):
+    """Top-T pre-selection with a magnitude-certified fast path: keep the
+    t lexicographically-(score, index)-smallest candidate lanes per row
+    (exact duplicates carry bit-identical scores, so tied-at-the-minimum
+    groups extract lowest-index-first — v0's tie rule survives into the
+    rerank), unless any score magnitude exceeds SELECT_SCORE_CUTOFF —
+    then rerank every lane exactly (correctness first; the 16x gather
+    saving only where the approximation provably cannot matter)."""
     score = jnp.where(jnp.isnan(score), jnp.inf, score)
+    s = score
     picks = []
     for _ in range(t):
-        v = jnp.min(score, axis=-1, keepdims=True)
-        tie = jnp.where(score == v, idx, _I32_MAX)
+        v = jnp.min(s, axis=-1, keepdims=True)
+        tie = jnp.where(s == v, idx, _I32_MAX)
         pick = jnp.min(tie, axis=-1)
         picks.append(pick)
-        score = jnp.where(idx == pick[..., None], jnp.inf, score)
-    return jnp.stack(picks, axis=-1)
+        s = jnp.where(idx == pick[..., None], jnp.inf, s)
+    sel = jnp.stack(picks, axis=-1)
+    finite_mag = jnp.where(jnp.isfinite(score), jnp.abs(score), 0.0)
+    unsafe = jnp.max(finite_mag) > SELECT_SCORE_CUTOFF
+    return jax.lax.cond(
+        unsafe,
+        lambda _: _exact_rerank(search, ref, idx, n),
+        lambda _: _exact_rerank(search, ref, sel, n),
+        None,
+    )
 
 
 def _refine(search, ref, cand, n):
     """Exact selection over per-lane candidates (see _exact_rerank).
 
     `cand` is either (idx, score) — the candidates() contract, enabling
-    the top-T pre-selection — or a plain index array (v5's DMA kernel),
-    which reranks in full."""
+    the certified top-T pre-selection (_refine_guarded) — or a plain
+    index array (v5's DMA kernel), which reranks in full."""
     if isinstance(cand, (tuple, list)):
-        cand = _select_top(*cand)
+        idx, score = cand
+        if idx.shape[-1] > REFINE_TOP_T:
+            return _refine_guarded(search, ref, idx, score, n)
+        cand = idx
     return _exact_rerank(search, ref, cand, n)
 
 

@@ -336,7 +336,9 @@ def _sweep_tiles(k: int, m: int, n: int, kk: int,
         return 3 * kk * tm * 1024 + 8 * tm * tn
 
     while tile_m > 8 and vmem(tile_m, tile_n) > (10 << 20):
-        tile_m //= 2
+        # Halve but keep the sublane-multiple invariant (e.g. 88 -> 40,
+        # not 44, which _build_sweep_candidates rejects).
+        tile_m = max(8, ((tile_m // 2) // 8) * 8)
     while tile_n > 512 and vmem(tile_m, tile_n) > (10 << 20):
         tile_n //= 2
     return max(8, tile_m), tile_n
