@@ -331,3 +331,21 @@ def test_index_accepts_array_likes():
     ix = NNIndex(pts)
     idx, d2 = ix.query(np.array([[1.9, 3.1]], np.float32))
     assert int(np.asarray(idx)[0]) == 1
+
+
+def test_query_radius():
+    rng = np.random.default_rng(91)
+    r = rng.random((2000, 5), np.float32)
+    q = rng.random((4, 5), np.float32)
+    ix = NNIndex(r)
+    idx, d2, cnt = ix.query_radius(q, 0.35, 8)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for i in range(4):
+        true = np.nonzero(D[i] <= 0.35 ** 2)[0]
+        want = true[np.lexsort((true, D[i, true]))][:8]
+        got = idx[i][idx[i] >= 0]
+        assert cnt[i] == len(got)
+        np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="radius"):
+        ix.query_radius(q, -0.1, 4)

@@ -171,3 +171,27 @@ def test_neighbors_one_returns_2d_rows():
     assert np.asarray(gi).shape == (5, 1) and np.asarray(gd).shape == (5, 1)
     with pytest.raises(ValueError, match="version"):
         tpu_knn.nearest_neighbors(q, r, version="v4", neighbors=1)
+
+
+def test_within_radius():
+    from tpu_knn.kernels.topk import within_radius
+
+    rng = np.random.default_rng(90)
+    q = rng.random((6, 4), np.float32)
+    r = rng.random((3000, 4), np.float32)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    radius = 0.22
+    idx, d2, cnt = within_radius(q, r, radius, 16)
+    idx, d2, cnt = np.asarray(idx), np.asarray(d2), np.asarray(cnt)
+    for i in range(6):
+        true = np.nonzero(D[i] <= radius ** 2)[0]
+        want = true[np.lexsort((true, D[i, true]))][:16]
+        got = idx[i][idx[i] >= 0]
+        assert cnt[i] == len(got)
+        np.testing.assert_array_equal(got, want)
+        assert np.all(np.isinf(d2[i][len(got):]))
+    # radius covering nothing
+    _, _, cnt0 = within_radius(q, r + 50.0, 0.1, 4)
+    assert np.all(np.asarray(cnt0) == 0)
+    with pytest.raises(ValueError, match="radius"):
+        within_radius(q, r, -1.0, 4)

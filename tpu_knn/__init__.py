@@ -34,6 +34,7 @@ from tpu_knn.engine.registry import get_version, list_versions, register_version
 _LAZY = {
     "NNIndex": ("tpu_knn.engine.index", "NNIndex"),
     "topk_knn": ("tpu_knn.kernels.topk", "topk_knn"),
+    "within_radius": ("tpu_knn.kernels.topk", "within_radius"),
     "sharded_knn": ("tpu_knn.distributed.sharded", "sharded_knn"),
     "sharded_topk_knn": ("tpu_knn.distributed.sharded", "sharded_topk_knn"),
 }
@@ -55,6 +56,7 @@ __all__ = [
     "knn_callback",
     "NNIndex",
     "topk_knn",
+    "within_radius",
     "sharded_knn",
     "sharded_topk_knn",
     "get_version",

@@ -492,6 +492,21 @@ class NNIndex:
                                     self.tile_n, self.precision)
         return run, (self.r_ops, self.ref_dev)
 
+    def query_radius(self, search, radius: float, max_results: int):
+        """Exact fixed-radius neighbors, capped at ``max_results`` per
+        query (static output shape — see kernels/topk.py:within_radius).
+        Returns (idx (m, max_results), d2 (m, max_results), count (m,)):
+        rows ascending by exact (d2, index), padded -1/+inf; a full row
+        means the cap truncated the true in-radius set."""
+        if not float(radius) >= 0.0:
+            raise ValueError(f"radius must be non-negative, got {radius}")
+        idx, d2 = self._query_topk(search, max_results)
+        idx, d2 = jnp.asarray(idx), jnp.asarray(d2)
+        inside = d2 <= float(radius) ** 2
+        return (jnp.where(inside, idx, -1),
+                jnp.where(inside, d2, jnp.inf),
+                jnp.sum(inside, axis=-1).astype(jnp.int32))
+
     def _query_topk(self, search, neighbors: int):
         from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_topk
 

@@ -581,3 +581,29 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
             f"sweep engine serves K <= {SWEEP_MAX_NEIGHBORS}, got {neighbors}")
     return _build_topk_percall(m, n, k, neighbors,
                                auto_precision(k, n), method)(search, ref)
+
+
+def within_radius(search, ref, radius: float, max_results: int,
+                  method: str = "auto"):
+    """Exact fixed-radius neighbors, capped at ``max_results`` per query
+    (the TPU-shaped contract for a variable-size result: static output
+    shape, distance-ordered truncation — the convention production NN
+    engines use for radius queries on accelerators).
+
+    Returns (idx (m, max_results) i32, d2 (m, max_results) f32,
+    count (m,) i32): per query, the up-to-``max_results`` nearest points
+    with exact squared distance <= radius**2, rows ascending by exact
+    (d2, index) and padded with idx -1 / d2 +inf; ``count`` is the number
+    of RETURNED neighbors (== the true in-radius count whenever
+    count < max_results — a full row means the cap truncated).
+    Built on the top-K engines: one (or two bound-seeded) reference
+    read(s) in the serving regime.
+    """
+    if not float(radius) >= 0.0:   # also rejects NaN
+        raise ValueError(f"radius must be non-negative, got {radius}")
+    r2 = float(radius) ** 2
+    idx, d2 = topk_knn(search, ref, max_results, method)
+    inside = d2 <= r2
+    idx = jnp.where(inside, idx, -1)
+    d2 = jnp.where(inside, d2, jnp.inf)
+    return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
