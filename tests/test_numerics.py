@@ -110,3 +110,50 @@ def test_k_above_packed_limit_multi_pass_ladder():
     search = rng.random((8, 40), np.float32)
     run_gate("v4", search, ref)
     run_gate("v2", search, ref)
+
+
+def test_select_cutoff_tier_scaling():
+    """ADVICE r2 (medium): the top-T certification cutoff must scale with
+    the active tier's relative score error so the admitted ABSOLUTE error
+    is tier-independent (~6e-5 at the cutoff)."""
+    from tpu_knn.kernels.fused import (
+        SELECT_SCORE_CUTOFF, _TIER_EPS, select_cutoff,
+    )
+
+    # packed 3-split (k_pad <= 16): the calibrated baseline.
+    assert select_cutoff("packed", 3) == SELECT_SCORE_CUTOFF
+    assert select_cutoff("packed", 16) == SELECT_SCORE_CUTOFF
+    # packed 2x2 (16 < k <= 32): bf16x4-quality error -> 2^9 smaller.
+    assert select_cutoff("packed", 32) == SELECT_SCORE_CUTOFF * 2.0 ** -9
+    # multi-pass ladder tiers admit the same absolute budget.
+    for tier in ("bf16x3", "bf16x4", "highest", "default"):
+        cut = select_cutoff(tier, 64)
+        assert cut * _TIER_EPS[tier] <= SELECT_SCORE_CUTOFF * 2.0 ** -26 + 1e-12
+    # exact diff-form scores: the magnitude certificate does not apply.
+    assert np.isinf(select_cutoff("exact", 3))
+
+
+def test_clustered_near_duplicates_k_above_packed(version_gate=None):
+    """ADVICE r2 fuzz ask: k > 32 (bf16x3 multi-pass tier) with a dense
+    shell of near-duplicate decoys around each query at moderate
+    coordinate scale — the regime where a flat 4096 cutoff admitted ~2^9
+    more score error than certified. Gate vs the oracle."""
+    from tpu_knn.harness.checker import check_results
+    from tpu_knn.kernels.fused import fused_knn
+    from tpu_knn.oracle import oracle_knn
+
+    rng = np.random.default_rng(1234)
+    k, m, n = 40, 16, 6000
+    scale = 9.0   # scores ~ k * scale^2 / 3 ~ 1000: below the OLD cutoff
+    ref = (rng.random((n, k)) * scale).astype(np.float32)
+    search = (rng.random((m, k)) * scale).astype(np.float32)
+    # >REFINE_TOP_T near-duplicates per query: distinct points at d2 in
+    # [1e-4, 1e-2] of each query, planted at scattered indices.
+    for i in range(m):
+        for j in range(12):
+            ofs = rng.normal(0, 2e-2, k).astype(np.float32)
+            ref[(37 * i + 211 * j) % n] = search[i] + ofs
+    idx, d2 = fused_knn(search, ref)
+    want = oracle_knn(search, ref)
+    errors, total = check_results(want, np.asarray(idx), search, ref)
+    assert errors == 0, f"near-duplicate cluster gate: {errors}/{total}"

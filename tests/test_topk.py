@@ -105,9 +105,22 @@ def test_topk_validation():
         topk_knn(q, r, 51)  # K > n
     with pytest.raises(ValueError, match="neighbors"):
         topk_knn(q, r, 0)
+    # K above MAX_NEIGHBORS routes to the passes engine (the radius-
+    # escalation ceiling lift, VERDICT r2 item 7)...
+    big_r = np.random.rand(MAX_NEIGHBORS + 10, 3).astype(np.float32)
+    gi, _ = topk_knn(q, big_r, MAX_NEIGHBORS + 1)
+    d2b = ((q[:, None, :] - big_r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        gi, np.argsort(d2b, axis=1, kind="stable")[:, : MAX_NEIGHBORS + 1])
+    # ...but only 'passes' serves it, and PASSES_MAX_NEIGHBORS is hard.
+    with pytest.raises(ValueError, match="sweep"):
+        topk_knn(q, big_r, MAX_NEIGHBORS + 1, method="sweep")
+    from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS
+
     with pytest.raises(ValueError, match="neighbors"):
-        topk_knn(q, np.random.rand(MAX_NEIGHBORS + 10, 3).astype(np.float32),
-                 MAX_NEIGHBORS + 1)
+        topk_knn(q, np.random.rand(PASSES_MAX_NEIGHBORS + 10, 3
+                                   ).astype(np.float32),
+                 PASSES_MAX_NEIGHBORS + 1)
     with pytest.raises(ValueError, match="version"):
         tpu_knn.nearest_neighbors(q, r, version="v4", neighbors=3)
     # kdtree + native backend now SERVES top-K (tk_kdtree_query_topk);
@@ -195,3 +208,159 @@ def test_within_radius():
     assert np.all(np.asarray(cnt0) == 0)
     with pytest.raises(ValueError, match="radius"):
         within_radius(q, r, -1.0, 4)
+
+
+def test_within_radius_complete_escalates():
+    """Plant MORE in-radius points than the starting cap: the escalating
+    variant must return the full in-radius set (VERDICT r2 item 7)."""
+    from tpu_knn.kernels.topk import within_radius, within_radius_complete
+
+    rng = np.random.default_rng(92)
+    r = rng.random((1200, 3), np.float32) * 10.0
+    q = rng.random((3, 3), np.float32)
+    # 70 points clustered within radius 0.5 of query 0 (> start_cap=32).
+    r[100:170] = q[0] + rng.normal(0, 0.1, (70, 3)).astype(np.float32)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    radius = 0.5
+    # Single-shot at cap 32 truncates (count == cap flags it)...
+    _, _, cnt32 = within_radius(q, r, radius, 32)
+    assert int(np.asarray(cnt32)[0]) == 32
+    # ...the complete variant escalates until every row is exact.
+    idx, d2, cnt = within_radius_complete(q, r, radius, start_cap=32)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for i in range(3):
+        true = np.nonzero(D[i] <= radius ** 2)[0]
+        assert cnt[i] == len(true) < idx.shape[1]
+        got = idx[i][idx[i] >= 0]
+        want = true[np.lexsort((true, D[i, true]))]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_within_radius_cap_clamped_and_ceiling():
+    from tpu_knn.kernels.topk import (
+        PASSES_MAX_NEIGHBORS, within_radius, within_radius_complete,
+    )
+
+    rng = np.random.default_rng(93)
+    r = rng.random((40, 3), np.float32)
+    q = rng.random((2, 3), np.float32)
+    # A generous cap on a small reference set is valid: clamped to n,
+    # output padded back to the requested static width (ADVICE r2).
+    idx, d2, cnt = within_radius(q, r, 10.0, 64)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    assert idx.shape == (2, 64)
+    assert np.all(cnt == 40) and np.all(idx[:, 40:] == -1)
+    # Beyond the engine ceiling on a large set: a radius-specific error.
+    big = rng.random((PASSES_MAX_NEIGHBORS + 100, 3), np.float32)
+    with pytest.raises(ValueError, match="max_results"):
+        within_radius(q, big, 0.1, PASSES_MAX_NEIGHBORS + 1)
+    # complete variant: radius capturing everything on a big set raises
+    # once the ceiling is hit.
+    dense_cloud = np.zeros((PASSES_MAX_NEIGHBORS + 50, 3), np.float32)
+    with pytest.raises(ValueError, match="ceiling"):
+        within_radius_complete(np.zeros((1, 3), np.float32), dense_cloud,
+                               1.0, start_cap=256)
+
+
+def test_query_radius_escalating_default():
+    """NNIndex.query_radius(max_results=None) returns the TRUE in-radius
+    set, escalating past the planted cluster size."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(94)
+    r = rng.random((800, 4), np.float32) * 8.0
+    q = rng.random((2, 4), np.float32)
+    r[10:60] = q[1] + rng.normal(0, 0.05, (50, 4)).astype(np.float32)
+    ix = NNIndex(r)
+    idx, d2, cnt = ix.query_radius(q, 0.4)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for i in range(2):
+        true = np.nonzero(D[i] <= 0.4 ** 2)[0]
+        assert cnt[i] == len(true)
+        np.testing.assert_array_equal(
+            idx[i][idx[i] >= 0], true[np.lexsort((true, D[i, true]))])
+    # Explicit generous cap on a small/shrinking set: clamped, padded.
+    ix_small = NNIndex(r[:400])
+    idx2, _, cnt2 = ix_small.query_radius(q, 30.0, 450)
+    assert np.asarray(idx2).shape == (2, 450)
+    assert np.all(np.asarray(cnt2) == 400)
+    # A cap the engine ceiling cannot serve raises.
+    with pytest.raises(ValueError, match="ceiling"):
+        ix.query_radius(q, 30.0, 900)
+
+
+def test_api_neighbors_validation_consistent_at_m0():
+    """ADVICE r2: K validation must run before the empty-batch early
+    return so the contract matches the non-empty path."""
+    r = np.random.default_rng(95).random((50, 3)).astype(np.float32)
+    empty = np.zeros((0, 3), np.float32)
+    for bad in (0, -3, 51):
+        with pytest.raises(ValueError, match="neighbors"):
+            tpu_knn.nearest_neighbors(empty, r, neighbors=bad)
+    assert tpu_knn.nearest_neighbors(empty, r, neighbors=5).shape == (0, 5)
+
+
+def test_seeded_engine_differential():
+    """The bound-seeded batch sweep (VERDICT r2 item 1) must match the
+    K-pass banded engine exactly — including planted duplicates, same-
+    lane duplicates, and a query equal to reference points (boundary
+    ties at the seed bound B)."""
+    rng = np.random.default_rng(21)
+    q = rng.random((48, 5), np.float32)
+    r = rng.random((9000, 5), np.float32)
+    r[303] = r[5999]          # duplicate pair across candidate lanes
+    r[100] = r[228] = r[356]  # same-lane triplet (128 apart)
+    r[42] = q[3]              # d=0 hit
+    r[77] = q[7]
+    r[77 + 128] = q[7]        # d=0 duplicate in the same lane
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    for kk in (2, 8, 32):
+        si, sd = topk_knn(q, r, kk, method="seeded")
+        pi, pd = topk_knn(q, r, kk, method="passes")
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi))
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(pd))
+        # vs the oracle: per-rank exact distances must agree (the
+        # selected SET may swap approx-score near-ties at the K
+        # boundary — the engines' documented tolerance class — but any
+        # real selection miss shows as a distance gap).
+        want_d = np.sort(D, axis=1)[:, :kk]
+        np.testing.assert_allclose(np.asarray(sd), want_d,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_seeded_engine_m_chunk_splitting():
+    """m * K beyond the seeded K-state VMEM budget splits the batch into
+    m-chunks (each one full reference read); results must be seamless
+    across the chunk boundary."""
+    from tpu_knn.kernels.topk import SEEDED_STATE_BUDGET
+
+    rng = np.random.default_rng(22)
+    kk = 16
+    m = SEEDED_STATE_BUDGET // kk + 8   # forces 2 chunks (512 + 8)
+    q = rng.random((m, 3), np.float32)
+    r = rng.random((4000, 3), np.float32)
+    r[1234] = q[SEEDED_STATE_BUDGET // kk]     # d=0 in the second chunk
+    r[99] = q[SEEDED_STATE_BUDGET // kk - 1]   # d=0 at the boundary
+    si, sd = topk_knn(q, r, kk, method="seeded")
+    np.testing.assert_array_equal(np.asarray(si), oracle_topk(q, r, kk))
+
+
+def test_seeded_engine_ragged_n_and_auto_routing():
+    from tpu_knn.kernels.topk import _auto_method
+
+    # auto routes the batch regime to seeded now
+    assert _auto_method(1024, 8) == "seeded"
+    assert _auto_method(64, 8) == "seeded"
+    assert _auto_method(8, 8) == "sweep"
+    assert _auto_method(1024, 64) == "passes"
+    rng = np.random.default_rng(23)
+    q = rng.random((40, 7), np.float32)
+    r = rng.random((2777, 7), np.float32)   # ragged vs any tile width
+    si, sd = topk_knn(q, r, 8, method="seeded")
+    np.testing.assert_array_equal(np.asarray(si), oracle_topk(q, r, 8))
+    # K == n shorter than the lane width: bounds from +inf lanes
+    q2 = rng.random((36, 3), np.float32)
+    r2 = rng.random((100, 3), np.float32)
+    si2, _ = topk_knn(q2, r2, 16, method="seeded")
+    np.testing.assert_array_equal(np.asarray(si2), oracle_topk(q2, r2, 16))

@@ -55,9 +55,16 @@ def nearest_neighbors(search, ref, version: str | None = None,
             raise ValueError(
                 "neighbors>1 uses the banded top-K pipeline; it cannot be "
                 "combined with an explicit 1-NN version")
+        from tpu_knn.kernels.topk import MAX_NEIGHBORS, topk_knn
+
+        # Validate BEFORE the empty-batch early return so the contract is
+        # consistent across m (ADVICE r2: K=0 silently succeeded at m=0).
+        if not (1 <= neighbors <= min(n, MAX_NEIGHBORS)):
+            raise ValueError(
+                f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})] = "
+                f"[1, {min(n, MAX_NEIGHBORS)}], got {neighbors}")
         if m == 0:
             return np.empty((0, neighbors), np.int32)
-        from tpu_knn.kernels.topk import topk_knn
 
         import jax
 

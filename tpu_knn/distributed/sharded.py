@@ -31,7 +31,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_knn.distributed.collectives import min_index_allreduce
 from tpu_knn.engine.registry import register_version
-from tpu_knn.kernels.fused import _build_fused_candidates, _refine
+from tpu_knn.kernels.fused import (
+    _build_fused_candidates, _refine, select_cutoff,
+)
 from tpu_knn.kernels.tuning import pick_tiles
 from tpu_knn.utils.shapes import cdiv, round_up
 
@@ -100,10 +102,12 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
                                          tile_m, tile_n, soa=True,
                                          precision=precision)
 
+    cutoff = select_cutoff(precision, k)
+
     def shard_fn(q_local, r_local):
         # q_local: (m_local, k); r_local: (n_local, k)
         cand = candidates(q_local, r_local)            # (m_local, 128) local idx
-        idx, d2 = _refine(q_local, r_local, cand, n_local)
+        idx, d2 = _refine(q_local, r_local, cand, n_local, cutoff=cutoff)
         # Global index rebase, per query row (core.cu:931-933 done right):
         # shards are laid out [dcn-major, sp-minor] along n.
         shard_id = jax.lax.axis_index("sp").astype(jnp.int32)

@@ -53,14 +53,16 @@ def _build_smallm_prepared(m: int, n: int, k: int):
     """Small-batch prepared pipeline: the diff-form VPU kernel
     (kernels/smallm.py) against the SAME SoA operand as the fused path —
     the m<=4 regime where the MXU's packed-dot prep work is all overhead."""
-    from tpu_knn.kernels.fused import _refine
+    from tpu_knn.kernels.fused import _refine, select_cutoff
     from tpu_knn.kernels.smallm import _build_smallm_candidates
 
     candidates = _build_smallm_candidates(m, n, k)
+    cutoff = select_cutoff("exact", k)  # diff-form scores
 
     @jax.jit
     def run(search, r_ops, ref_aos):
-        return _refine(search, ref_aos, candidates(search, r_ops), n)
+        return _refine(search, ref_aos, candidates(search, r_ops), n,
+                       cutoff=cutoff)
 
     return run
 
@@ -70,11 +72,12 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
                           precision: str = DEFAULT_PRECISION):
     """Query pipeline against a prepared (k_pad, n_pad) SoA array — the
     same candidate kernel as v4 (prepadded_soa skips pad+transpose)."""
-    from tpu_knn.kernels.fused import _refine
+    from tpu_knn.kernels.fused import _refine, select_cutoff
 
     candidates = _build_fused_candidates(m, n, k, tile_m, tile_n, soa=True,
                                          precision=precision,
                                          prepadded_soa=True)
+    cutoff = select_cutoff(precision, k)
 
     @jax.jit
     def run(search, r_ops, ref_aos):
@@ -82,7 +85,7 @@ def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
         # Exact refinement gathers rows from the AoS copy: a lane-axis
         # gather from the SoA array is strided and measured ~2.7 ms slower
         # at m=1024 than the row gather.
-        return _refine(search, ref_aos, cand, n)
+        return _refine(search, ref_aos, cand, n, cutoff=cutoff)
 
     return run
 
@@ -492,23 +495,69 @@ class NNIndex:
                                     self.tile_n, self.precision)
         return run, (self.r_ops, self.ref_dev)
 
-    def query_radius(self, search, radius: float, max_results: int):
-        """Exact fixed-radius neighbors, capped at ``max_results`` per
-        query (static output shape — see kernels/topk.py:within_radius).
-        Returns (idx (m, max_results), d2 (m, max_results), count (m,)):
-        rows ascending by exact (d2, index), padded -1/+inf; a full row
-        means the cap truncated the true in-radius set."""
+    def query_radius(self, search, radius: float,
+                     max_results: int | None = None):
+        """Exact fixed-radius neighbors (static output shape — see
+        kernels/topk.py:within_radius). Returns (idx (m, cap),
+        d2 (m, cap), count (m,)): rows ascending by exact (d2, index),
+        padded -1/+inf.
+
+        max_results=<int>: single-shot with that cap — a full row means
+        the cap MAY have truncated the true in-radius set (count <
+        max_results certifies completeness). A cap beyond n_live is
+        clamped internally and the output padded back (the cap is on
+        RESULTS, not a neighbors-parameter constraint).
+        max_results=None (default): escalate the cap (doubling — each a
+        compile-cache bucket) until no row truncates, returning each
+        query's TRUE in-radius set; raises if some query's in-radius set
+        exceeds the engine ceiling (kernels/topk.py:
+        PASSES_MAX_NEIGHBORS)."""
         if not float(radius) >= 0.0:
             raise ValueError(f"radius must be non-negative, got {radius}")
-        idx, d2 = self._query_topk(search, max_results)
-        idx, d2 = jnp.asarray(idx), jnp.asarray(d2)
-        inside = d2 <= float(radius) ** 2
-        return (jnp.where(inside, idx, -1),
-                jnp.where(inside, d2, jnp.inf),
-                jnp.sum(inside, axis=-1).astype(jnp.int32))
+        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS
+
+        limit = min(self.n_live, PASSES_MAX_NEIGHBORS)
+        r2 = float(radius) ** 2
+
+        def one_shot(cap):
+            eff = min(cap, limit)
+            idx, d2 = self._query_topk(search, eff)
+            idx, d2 = jnp.asarray(idx), jnp.asarray(d2)
+            inside = d2 <= r2
+            idx = jnp.where(inside, idx, -1)
+            d2 = jnp.where(inside, d2, jnp.inf)
+            if eff < cap:
+                pad = ((0, 0), (0, cap - eff))
+                idx = jnp.pad(idx, pad, constant_values=-1)
+                d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
+            return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
+
+        if max_results is not None:
+            if max_results < 1:
+                raise ValueError(
+                    f"max_results must be >= 1, got {max_results}")
+            if min(max_results, self.n_live) > limit:
+                raise ValueError(
+                    f"max_results={max_results} exceeds the radius-query "
+                    f"engine ceiling min(n_live, {PASSES_MAX_NEIGHBORS})")
+            return one_shot(max_results)
+        cap = min(32, limit)
+        while True:
+            idx, d2, count = one_shot(cap)
+            if cap >= self.n_live:
+                return idx, d2, count
+            counts = np.asarray(jax.device_get(count))
+            if int(counts.max(initial=0)) < cap:
+                return idx, d2, count
+            if cap >= limit:
+                raise ValueError(
+                    f"radius {radius} captures >= {limit} neighbors for "
+                    "some query — beyond the engine ceiling; shrink the "
+                    "radius or partition the reference set")
+            cap = min(cap * 2, limit)
 
     def _query_topk(self, search, neighbors: int):
-        from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_topk
+        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, _build_topk
 
         if self.strategy == "kdtree" and self.use_native_query:
             # Native CPU tree K-NN: bounded (d2, idx) max-heap per query
@@ -527,10 +576,12 @@ class NNIndex:
                 "neighbors>1 requires the fused/auto strategy (prepared "
                 "SoA operand) or the native kdtree backend; this index "
                 f"uses {self.strategy!r}")
-        if not (1 <= neighbors <= min(self.n_live, MAX_NEIGHBORS)):
+        if not (1 <= neighbors <= min(self.n_live, PASSES_MAX_NEIGHBORS)):
             raise ValueError(
-                f"neighbors must be in [1, min(n_live, {MAX_NEIGHBORS})] "
-                f"= [1, {min(self.n_live, MAX_NEIGHBORS)}], got {neighbors}")
+                f"neighbors must be in [1, min(n_live, "
+                f"{PASSES_MAX_NEIGHBORS})] = "
+                f"[1, {min(self.n_live, PASSES_MAX_NEIGHBORS)}], "
+                f"got {neighbors}")
         search = jnp.asarray(search, jnp.float32)
         m = search.shape[0]
         mb = self._m_bucket(m) if self.bucket_m else m
@@ -570,6 +621,14 @@ class NNIndex:
                 # kernel choice, not a route).
                 run = _build_smallm_prepared(m, n, self.k)
                 return run(search, self.r_ops, self.ref_dev)
+            from tpu_knn.kernels.dense import dense_applicable, _dense
+
+            if dense_applicable(m, self.k, n):
+                # Small reference sets skip the streaming pipeline (same
+                # routing as per-call fused_knn — ADVICE r2: SERVING.md
+                # promised this route; PAD slots of mutable indexes
+                # self-exclude via their +inf diff-form distance).
+                return _dense(search, self.ref_dev)
             tile_m, _ = pick_tiles(self.k, m, n)
             run = _build_prepared_query(m, n, self.k, tile_m,
                                         self.tile_n, self.precision)

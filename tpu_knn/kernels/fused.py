@@ -581,10 +581,12 @@ def _build_fused(m: int, n: int, k: int,
     inside ONE jit so a call is a single device dispatch."""
     candidates = _build_fused_candidates(m, n, k, tile_m, tile_n, soa,
                                          precision)
+    cutoff = select_cutoff(precision, k)
 
     @jax.jit
     def run(search, ref):
-        return _refine(search, ref, candidates(search, ref), n)
+        return _refine(search, ref, candidates(search, ref), n,
+                       cutoff=cutoff)
 
     return run
 
@@ -621,30 +623,62 @@ def _exact_rerank(search, src, cand, n_valid, tie_src=None):
 REFINE_TOP_T = 8
 
 
-#: Score-magnitude cutoff for the top-T pre-selection. The selection
-#: scores are approximate with error ~2^-26 * |score| (packed tier):
-#: their hazard regime is |score| >> d^2 — large-coordinate data, where
-#: the norm-trick cancellation lets the error rival REAL distance gaps
-#: and a top-T cut by approximate score can drop the true nearest lane
-#: (observed: unit-gap neighbors at coordinate scale ~4000, returning a
-#: d2=4 decoy over the true d2=1 — 1000x outside the +-1e-3 gate). At
-#: this cutoff the absolute error is <= 6e-5, orders below any gap the
-#: gate resolves for in-contract (unit-scale) data, whose scores stay
-#: ~O(k) — so the fast path is taken deterministically there. A per-row
-#: (T+1)-th-vs-T-th gap certificate was tried instead and rejected:
-#: benign near-ties trip it on ~every large batch (any-row semantics),
-#: silently degrading ds11 1.90 -> 2.55 ms.
+#: Score-magnitude cutoff for the top-T pre-selection AT THE PACKED
+#: 3-SPLIT TIER (relative score error ~2^-26). The selection scores are
+#: approximate with error ~eps_tier * |score|: their hazard regime is
+#: |score| >> d^2 — large-coordinate data, where the norm-trick
+#: cancellation lets the error rival REAL distance gaps and a top-T cut
+#: by approximate score can drop the true nearest lane (observed:
+#: unit-gap neighbors at coordinate scale ~4000, returning a d2=4 decoy
+#: over the true d2=1 — 1000x outside the +-1e-3 gate). At this cutoff
+#: the absolute error is <= 4096 * 2^-26 = 6e-5, orders below any gap
+#: the gate resolves for in-contract (unit-scale) data, whose scores
+#: stay ~O(k) — so the fast path is taken deterministically there.
+#: Other precision tiers scale the cutoff down by their error ratio
+#: (select_cutoff) so the certified absolute error budget is tier-
+#: independent. A per-row (T+1)-th-vs-T-th gap certificate was tried
+#: instead and rejected: benign near-ties trip it on ~every large batch
+#: (any-row semantics), silently degrading ds11 1.90 -> 2.55 ms.
 SELECT_SCORE_CUTOFF = 4096.0
 
+#: Conservative relative score error per precision tier (the packed tier
+#: splits by k: k_pad <= 16 fits the 3-way split's 8-9 terms, k <= 32
+#: only the 2x2 — bf16x4 quality). "exact" is the diff-form VPU path
+#: (smallm), whose error scales with d^2 itself, never with |score| —
+#: the magnitude certificate does not apply there.
+_TIER_EPS = {
+    "packed3": 2.0 ** -26, "packed2": 2.0 ** -17,
+    "bf16x3": 2.0 ** -17, "bf16x3_presplit": 2.0 ** -17,
+    "bf16x4": 2.0 ** -17, "highest": 2.0 ** -24, "default": 2.0 ** -8,
+}
 
-def _refine_guarded(search, ref, idx, score, n, t: int = REFINE_TOP_T):
+
+def select_cutoff(precision: str, k: int) -> float:
+    """Score-magnitude bound under which _refine_guarded's top-T cut is
+    certified safe for the given score arithmetic: the absolute error
+    admitted at the cutoff (cutoff * eps_tier) equals the packed tier's
+    6e-5 budget for every tier (ADVICE r2: a flat 4096 cutoff let the
+    bf16x3/bf16x4 ladder admit ~2^9 more error than certified)."""
+    if precision == "exact":
+        return float(np.inf)
+    if precision == "packed":
+        n_splits, _ = _packed_terms(round_up(k, 8))
+        precision = "packed3" if n_splits == 3 else (
+            "packed2" if n_splits == 2 else "bf16x3")
+    eps = _TIER_EPS.get(precision, 2.0 ** -8)
+    return SELECT_SCORE_CUTOFF * min(1.0, (2.0 ** -26) / eps)
+
+
+def _refine_guarded(search, ref, idx, score, n, t: int = REFINE_TOP_T,
+                    cutoff: float = SELECT_SCORE_CUTOFF):
     """Top-T pre-selection with a magnitude-certified fast path: keep the
     t lexicographically-(score, index)-smallest candidate lanes per row
     (exact duplicates carry bit-identical scores, so tied-at-the-minimum
     groups extract lowest-index-first — v0's tie rule survives into the
-    rerank), unless any score magnitude exceeds SELECT_SCORE_CUTOFF —
-    then rerank every lane exactly (correctness first; the 16x gather
-    saving only where the approximation provably cannot matter)."""
+    rerank), unless any score magnitude exceeds ``cutoff`` (tier-scaled,
+    see select_cutoff) — then rerank every lane exactly (correctness
+    first; the 16x gather saving only where the approximation provably
+    cannot matter)."""
     score = jnp.where(jnp.isnan(score), jnp.inf, score)
     s = score
     picks = []
@@ -655,8 +689,10 @@ def _refine_guarded(search, ref, idx, score, n, t: int = REFINE_TOP_T):
         picks.append(pick)
         s = jnp.where(idx == pick[..., None], jnp.inf, s)
     sel = jnp.stack(picks, axis=-1)
+    if not np.isfinite(cutoff):   # exact-score tier: always certified
+        return _exact_rerank(search, ref, sel, n)
     finite_mag = jnp.where(jnp.isfinite(score), jnp.abs(score), 0.0)
-    unsafe = jnp.max(finite_mag) > SELECT_SCORE_CUTOFF
+    unsafe = jnp.max(finite_mag) > cutoff
     return jax.lax.cond(
         unsafe,
         lambda _: _exact_rerank(search, ref, idx, n),
@@ -665,16 +701,19 @@ def _refine_guarded(search, ref, idx, score, n, t: int = REFINE_TOP_T):
     )
 
 
-def _refine(search, ref, cand, n):
+def _refine(search, ref, cand, n, cutoff: float = SELECT_SCORE_CUTOFF):
     """Exact selection over per-lane candidates (see _exact_rerank).
 
     `cand` is either (idx, score) — the candidates() contract, enabling
     the certified top-T pre-selection (_refine_guarded) — or a plain
-    index array (v5's DMA kernel), which reranks in full."""
+    index array (v5's DMA kernel), which reranks in full. ``cutoff`` is
+    the tier-scaled certification bound (select_cutoff); callers whose
+    scores come from a non-packed tier MUST pass it."""
     if isinstance(cand, (tuple, list)):
         idx, score = cand
         if idx.shape[-1] > REFINE_TOP_T:
-            return _refine_guarded(search, ref, idx, score, n)
+            return _refine_guarded(search, ref, idx, score, n,
+                                   cutoff=cutoff)
         cand = idx
     return _exact_rerank(search, ref, cand, n)
 

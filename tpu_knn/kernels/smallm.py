@@ -188,13 +188,15 @@ def _build_smallm_candidates(m: int, n: int, k: int,
 def _build_smallm(m: int, n: int, k: int, tile_n: int | None = None):
     """Per-call pipeline: SoA layout + candidates + exact refinement in
     one jit (single device dispatch)."""
-    from tpu_knn.kernels.fused import _refine
+    from tpu_knn.kernels.fused import _refine, select_cutoff
 
     cand = _build_smallm_candidates(m, n, k, tile_n)
+    cutoff = select_cutoff("exact", k)  # diff-form scores: always certified
 
     @jax.jit
     def run(search, ref):
-        return _refine(search, ref, cand(search, cand.prep(ref)), n)
+        return _refine(search, ref, cand(search, cand.prep(ref)), n,
+                       cutoff=cutoff)
 
     return run
 

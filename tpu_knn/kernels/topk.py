@@ -53,9 +53,15 @@ from tpu_knn.kernels.tuning import pick_tiles
 from tpu_knn.utils.platform import interpret_mode
 from tpu_knn.utils.shapes import round_up
 
-#: Largest K served; bounds compile size (the banded engine's scan is
-#: length-K) and keeps the designs honest about their regime.
+#: Largest K served by the default ("auto"/"sweep"-eligible) contract;
+#: bounds compile size and keeps the designs honest about their regime.
 MAX_NEIGHBORS = 128
+
+#: Absolute ceiling, served by the K-pass banded engine only (its state
+#: is one (m, 1) bound regardless of K; cost is K full reference reads —
+#: a completeness escape hatch, not a fast path). Bounds the length-K
+#: lax.scan's compile size.
+PASSES_MAX_NEIGHBORS = 512
 
 #: Largest K the single-sweep engine serves: the per-lane K-state costs
 #: K * tile_m KiB of VMEM scratch (f32+i32) plus an equally-sized output
@@ -77,6 +83,11 @@ SWEEP_AUTO_BUDGET = 256
 def _auto_method(m: int, kk: int) -> str:
     if kk <= SWEEP_MAX_NEIGHBORS and m * kk <= SWEEP_AUTO_BUDGET:
         return "sweep"
+    if kk <= SWEEP_MAX_NEIGHBORS:
+        # Batch regime: the bound-seeded batch sweep (~2 reference reads
+        # + rare insertions) replaces the K-pass engine's K full reads
+        # (measurements: docs/PERF_NOTES.md "Seeded batch sweep").
+        return "seeded"
     return "passes"
 
 
@@ -319,6 +330,169 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
     return candidates
 
 
+def _seeded_sweep_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref,
+                         s_buf, pending, *state, kk: int, n: int,
+                         tile_m: int, tile_n: int, n_tiles: int,
+                         precision: str):
+    """Bound-seeded batch sweep — the batch-regime top-K engine
+    (VERDICT r2 item 1: the plain sweep pays a K-deep compare-exchange
+    chain on EVERY chunk, 12.7x the 1-NN pace at m=1024).
+
+    Grid (n_tiles, m_tiles), m innermost: the reference block index map
+    is constant in i, so R streams through VMEM ONCE regardless of
+    tile_m (a conventional m-outer grid re-reads R per m-tile). The
+    whole batch's per-lane K-state lives in VMEM scratch ((m_pad, 128)
+    per level), seeded at (B_row, I32_MAX) where B_row is a provable
+    upper bound on the row's global K-th score (from a preceding 1-NN
+    candidates pass): only true top-K contenders can ever enter, so
+    insertions are ~2K per row over the WHOLE scan.
+
+    The per-chunk work is restructured around that sparsity with a
+    branchless SMEM pending queue: loop 1 streams the tile's chunks,
+    computes the one-compare guard ("any element <= some lane's current
+    worst?") and unconditionally stores the chunk id at pending[cnt],
+    advancing cnt only on hit — no vector-pipeline branch anywhere
+    (a chunk-level lax.cond was measured 4x slower at m=1 and 92 ms at
+    batch scale, PERF_NOTES "Bound-seeded two-pass"). Loop 2 is a
+    dynamic-trip fori over the cnt recorded hits only, running the
+    K-level insertion chain (_kstate_insert — the lex cascade preserves
+    v0's tie rule) on those chunks. Guard staleness is safe: the worst
+    only tightens within a tile, so a stale check admits a superset."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    s_refs = state[0::2]
+    i_refs = state[1::2]
+    row = pl.ds(i * tile_m, tile_m)
+
+    @pl.when(j == 0)
+    def _():
+        b = jnp.broadcast_to(bs_ref[:], (tile_m, 128))
+        for l in range(kk):
+            s_refs[l][row, :] = b
+            i_refs[l][row, :] = jnp.full((tile_m, 128), _I32_MAX, jnp.int32)
+
+    s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
+    s = jnp.where(col < n, s, jnp.inf)
+    s_buf[:] = s
+
+    worst = s_refs[kk - 1][row, :]                   # (tile_m, 128)
+    chunks = tile_n // 128
+
+    def scan_chunk(c, cnt):
+        hit = jnp.any(s_buf[:, pl.ds(c * 128, 128)] <= worst)
+        pending[cnt] = c          # unconditional; overwritten unless hit
+        return cnt + hit.astype(jnp.int32)
+
+    cnt = jax.lax.fori_loop(0, chunks, scan_chunk, jnp.int32(0))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
+
+    def insert_pending(h, carry):
+        ls, li = carry
+        c = pending[h]
+        new_s = s_buf[:, pl.ds(c * 128, 128)]
+        new_i = lane + (j * tile_n + c * 128)
+        return _kstate_insert(ls, li, new_s, new_i, kk)
+
+    @pl.when(cnt > 0)
+    def _():
+        ls, li = jax.lax.fori_loop(
+            0, cnt, insert_pending,
+            (tuple(r[row, :] for r in s_refs),
+             tuple(r[row, :] for r in i_refs)),
+        )
+        for l in range(kk):
+            s_refs[l][row, :] = ls[l]
+            i_refs[l][row, :] = li[l]
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_s_ref[:] = jnp.concatenate([r[row, :] for r in s_refs], axis=1)
+        out_i_ref[:] = jnp.concatenate([r[row, :] for r in i_refs], axis=1)
+
+
+#: VMEM budget for the seeded engine's whole-batch K-state: m_pad * kk
+#: capped so 2 * m_pad * 128 * 4 * kk bytes stays ~8 MB; larger batches
+#: split into m-chunks (each pays one full reference read).
+SEEDED_STATE_BUDGET = 8192
+
+
+@functools.lru_cache(maxsize=None)
+def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
+                             tile_m: int, tile_n: int, precision: str,
+                             n_ops: int | None = None):
+    """(search (m,k), SoA ref ops, bound (m,1)) -> (idx, score) per-lane
+    K-deep candidate lists from ONE seeded reference sweep (see
+    _seeded_sweep_kernel). Requires m * kk <= SEEDED_STATE_BUDGET."""
+    if tile_n % 128 != 0 or tile_m % 8 != 0:
+        raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
+    if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
+        raise ValueError(f"sweep engines serve K in [1, {SWEEP_MAX_NEIGHBORS}]")
+    k_pad = round_up(k, 8)
+    m_pad = round_up(m, tile_m)
+    if m_pad * kk > SEEDED_STATE_BUDGET:
+        raise ValueError(
+            f"m_pad * kk = {m_pad * kk} exceeds the seeded K-state budget "
+            f"{SEEDED_STATE_BUDGET}; split the batch (see _build_topk)")
+    n_pad = n_ops if n_ops is not None else round_up(n, tile_n)
+    if n_pad < n or n_pad % tile_n != 0:
+        raise ValueError(f"operand width {n_pad} incompatible with "
+                         f"n={n}, tile_n={tile_n}")
+    m_tiles = m_pad // tile_m
+    n_tiles = n_pad // tile_n
+    out_spec = pl.BlockSpec((tile_m, kk * 128), lambda j, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_seeded_sweep_kernel, kk=kk, n=n, tile_m=tile_m,
+                          tile_n=tile_n, n_tiles=n_tiles,
+                          precision=precision),
+        grid=(n_tiles, m_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_m, k_pad), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, kk * 128), jnp.float32),
+                   jax.ShapeDtypeStruct((m_pad, kk * 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32),
+                        pltpu.SMEM((tile_n // 128 + 1,), jnp.int32)]
+                       + [pltpu.VMEM((m_pad, 128), dt)
+                          for _ in range(kk)
+                          for dt in (jnp.float32, jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
+                            + m_pad * kk * 1024),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )
+
+    def prep_soa(ref):
+        return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
+
+    def candidates(search, ref_ops, bound_s):
+        """bound_s (m, 1) f32: per-query upper bound on the global K-th
+        kernel score. Rows beyond m seed at -inf (nothing qualifies)."""
+        (r_op,) = ref_ops
+        if r_op.shape != (k_pad, n_pad):
+            raise ValueError(
+                f"operand shape {r_op.shape} != ({k_pad}, {n_pad})")
+        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
+        bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
+                     constant_values=-jnp.inf)
+        cs, ci = call(q, r_op, bs)
+        return ci[:m], cs[:m]
+
+    candidates.prep_soa = prep_soa
+    return candidates
+
+
 def _sweep_tiles(k: int, m: int, n: int, kk: int,
                  precision: str) -> tuple[int, int]:
     """Tile geometry for the sweep kernel: the 1-NN tile table (narrow —
@@ -498,6 +672,70 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 return _finalize_topk(search, ref_aos, ci, cs, kk, n)
 
             return run
+    if method == "seeded":
+        if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
+            raise ValueError(
+                f"seeded engine serves K in [1, {SWEEP_MAX_NEIGHBORS}]")
+        tile_m = min(128, round_up(m, 8))
+        # Batches beyond the K-state VMEM budget split into m-chunks;
+        # each chunk pays one full reference read (ceil(m*kk/budget)
+        # reads total — still far under the passes engine's K).
+        m_chunk = max(tile_m, (SEEDED_STATE_BUDGET // kk) // tile_m * tile_m)
+        m_chunk = min(m_chunk, round_up(m, tile_m))
+        k_pad = round_up(k, 8)
+        # tile_n: fill VMEM left after the K-state + score/staging tiles.
+        state_bytes = kk * round_up(min(m, m_chunk), tile_m) * 1024
+        tile_n = ((14 << 20) - state_bytes) // (12 * tile_m + 16 * k_pad)
+        tile_n = max(512, min(2048, (tile_n // 128) * 128))
+        tile_n = min(tile_n, n_ops)
+        while n_ops % tile_n != 0:
+            tile_n -= 128
+        # Pass 1 (the bound): the banded candidates kernel with a -inf
+        # band is exactly the unbanded per-lane top-1 fold, and already
+        # speaks the n_ops prepadded-operand protocol.
+        p1_tile_m, p1_tile_n = pick_tiles(k, min(m, m_chunk), n,
+                                          wide=precision == "packed")
+        p1_tile_n = min(p1_tile_n, n_ops)
+        while n_ops % p1_tile_n != 0:
+            p1_tile_n -= 128
+
+        def chunk_runs(mc):
+            pass1 = _build_banded_candidates(mc, n, k, p1_tile_m, p1_tile_n,
+                                             precision, n_ops=n_ops)
+            seeded = _build_seeded_candidates(mc, n, k, kk, tile_m, tile_n,
+                                              precision, n_ops=n_ops)
+
+            def go(search, r_ops):
+                no_band_s = jnp.full((mc, 1), -jnp.inf, jnp.float32)
+                no_band_i = jnp.full((mc, 1), -1, jnp.int32)
+                _i1, cs1 = pass1(search, r_ops, no_band_s, no_band_i)
+                # B = K-th smallest of the 128 per-lane minima: at least
+                # K distinct elements score <= B, so the global K-th
+                # score is <= B. Inflated by 2^-20 relative (a LOOSER
+                # bound is always safe — it only admits extra
+                # candidates) to stay robust if kernel score bits ever
+                # diverge between geometries; NaN bounds (inf-coordinate
+                # data) degrade to an unseeded sweep, never to a miss.
+                bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
+                bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
+                bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+                return seeded(search, r_ops, bound)
+
+            return go
+
+        bounds = [(s, min(m, s + m_chunk)) for s in range(0, m, m_chunk)]
+        runs = {}
+        for s, e in bounds:
+            runs.setdefault(e - s, chunk_runs(e - s))
+
+        @jax.jit
+        def run(search, r_ops, ref_aos):
+            outs = [runs[e - s](search[s:e], r_ops) for s, e in bounds]
+            ci = jnp.concatenate([o[0] for o in outs], axis=0)
+            cs = jnp.concatenate([o[1] for o in outs], axis=0)
+            return _finalize_topk(search, ref_aos, ci, cs, kk, n)
+
+        return run
     if method != "passes":
         raise ValueError(f"unknown top-K method {method!r}")
     tile_m, tile_n = pick_tiles(k, m, n)
@@ -566,19 +804,29 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
     Returns (idx (m, K) i32, d2 (m, K) f32), each row ascending by exact
     (squared distance, index). Requires neighbors <= n. `method` selects
     the engine: "sweep" (one reference read, K <= SWEEP_MAX_NEIGHBORS),
-    "passes" (K banded reads, K <= MAX_NEIGHBORS), or "auto".
+    "passes" (K banded reads, K <= PASSES_MAX_NEIGHBORS), or "auto"
+    (K <= MAX_NEIGHBORS picks the measured winner; larger K — up to
+    PASSES_MAX_NEIGHBORS — is served by the passes engine at K-scan
+    cost, the completeness escape hatch radius queries escalate into).
     """
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
     n = ref.shape[0]
-    if not (1 <= neighbors <= min(n, MAX_NEIGHBORS)):
+    if not (1 <= neighbors <= min(n, PASSES_MAX_NEIGHBORS)):
         raise ValueError(
-            f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})] = "
-            f"[1, {min(n, MAX_NEIGHBORS)}], got {neighbors}")
+            f"neighbors must be in [1, min(n, {PASSES_MAX_NEIGHBORS})] = "
+            f"[1, {min(n, PASSES_MAX_NEIGHBORS)}], got {neighbors}")
     if method == "sweep" and neighbors > SWEEP_MAX_NEIGHBORS:
         raise ValueError(
             f"sweep engine serves K <= {SWEEP_MAX_NEIGHBORS}, got {neighbors}")
+    if method != "passes" and neighbors > MAX_NEIGHBORS:
+        if method == "auto":
+            method = "passes"
+        else:
+            raise ValueError(
+                f"K > {MAX_NEIGHBORS} requires method='passes', got "
+                f"{method!r} with K={neighbors}")
     return _build_topk_percall(m, n, k, neighbors,
                                auto_precision(k, n), method)(search, ref)
 
@@ -595,15 +843,65 @@ def within_radius(search, ref, radius: float, max_results: int,
     with exact squared distance <= radius**2, rows ascending by exact
     (d2, index) and padded with idx -1 / d2 +inf; ``count`` is the number
     of RETURNED neighbors (== the true in-radius count whenever
-    count < max_results — a full row means the cap truncated).
+    count < max_results — a full row means the cap MAY have truncated;
+    ``within_radius_complete`` escalates the cap until no row truncates).
     Built on the top-K engines: one (or two bound-seeded) reference
-    read(s) in the serving regime.
+    read(s) in the serving regime. ``max_results`` beyond ``n`` is served
+    (clamped internally — a generous cap on a small reference set is
+    valid); beyond PASSES_MAX_NEIGHBORS on a larger set it raises.
     """
     if not float(radius) >= 0.0:   # also rejects NaN
         raise ValueError(f"radius must be non-negative, got {radius}")
+    n = ref.shape[0]
+    if max_results < 1:
+        raise ValueError(f"max_results must be >= 1, got {max_results}")
+    eff = min(max_results, n)
+    if eff > PASSES_MAX_NEIGHBORS:
+        raise ValueError(
+            f"max_results={max_results} exceeds the radius-query engine "
+            f"ceiling min(n, {PASSES_MAX_NEIGHBORS}); shrink the cap or "
+            "partition the reference set")
     r2 = float(radius) ** 2
-    idx, d2 = topk_knn(search, ref, max_results, method)
+    idx, d2 = topk_knn(search, ref, eff, method)
     inside = d2 <= r2
     idx = jnp.where(inside, idx, -1)
     d2 = jnp.where(inside, d2, jnp.inf)
+    if eff < max_results:   # cap clamped to n: pad back to the requested
+        pad = ((0, 0), (0, max_results - eff))   # static output contract
+        idx = jnp.pad(idx, pad, constant_values=-1)
+        d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
     return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
+
+
+def within_radius_complete(search, ref, radius: float, *,
+                           start_cap: int = 32, method: str = "auto"):
+    """Fixed-radius neighbors with NO truncation: escalates the result
+    cap (doubling — each cap is a compile-cache bucket) until every row
+    reports fewer neighbors than the cap, i.e. the true in-radius set.
+
+    Returns (idx (m, cap) i32, d2 (m, cap) f32, count (m,) i32) where
+    ``cap`` is the final escalation width and ``count`` is each query's
+    TRUE in-radius count. Raises if the radius captures more than
+    min(n, PASSES_MAX_NEIGHBORS) points for some query — the static-
+    shape contract's honest limit (partition the reference set beyond).
+    The recovery loop the reference-style guard/verify/delegate
+    discipline implies (VERDICT r2 item 7): each escalation is a fresh
+    scan, amortized by the compile cache across calls.
+    """
+    n = ref.shape[0]
+    limit = min(n, PASSES_MAX_NEIGHBORS)
+    cap = min(max(1, start_cap), limit)
+    while True:
+        idx, d2, count = within_radius(search, ref, radius, cap, method)
+        if cap >= n:   # every point examined: complete by construction
+            return idx, d2, count
+        counts = np.asarray(jax.device_get(count))
+        if int(counts.max(initial=0)) < cap:
+            return idx, d2, count
+        if cap >= limit:
+            raise ValueError(
+                f"radius {radius} captures >= {limit} neighbors for some "
+                f"query — beyond the engine ceiling min(n, "
+                f"{PASSES_MAX_NEIGHBORS}); shrink the radius or partition "
+                "the reference set")
+        cap = min(cap * 2, limit)

@@ -43,12 +43,14 @@ def _build_twolevel(m: int, n: int, k: int, parts: int,
                     tile_m: int, tile_n: int):
     n_shard = round_up(cdiv(n, parts), tile_n)
     n_pad = n_shard * parts
-    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.fused import auto_precision, select_cutoff
 
     # Precision from the GLOBAL n: the gate's tightness is set by the
     # global nearest-neighbor distance scale, not the shard's.
+    precision = auto_precision(k, n)
     kernel = _build_fused_candidates(m, n_shard, k, tile_m, tile_n, soa=True,
-                                     precision=auto_precision(k, n))
+                                     precision=precision)
+    cutoff = select_cutoff(precision, k)
 
     @jax.jit
     def run(search, ref):
@@ -63,7 +65,7 @@ def _build_twolevel(m: int, n: int, k: int, parts: int,
         # Scores are globally comparable (same norm-trick form, same q);
         # padded partitions carry +inf and their I32_MAX indices above.
         cs = jnp.moveaxis(cs, 0, 1).reshape(m, parts * 128)
-        return _refine(search, ref, (ci, cs), n)
+        return _refine(search, ref, (ci, cs), n, cutoff=cutoff)
 
     return run
 
