@@ -349,3 +349,82 @@ def test_query_radius():
         np.testing.assert_array_equal(got, want)
     with pytest.raises(ValueError, match="radius"):
         ix.query_radius(q, -0.1, 4)
+
+
+def test_auto_projection_feedback_demotes_on_adversarial_serving():
+    """VERDICT r2 item 5: the build probe is open-loop; a serving
+    distribution that certifies poorly (queries displaced ORTHOGONALLY
+    to the projection axis: they project into the mass but live far from
+    it, so the window boundary certificate fails) must (a) still answer
+    exactly via the per-batch fallback, and (b) demote the projection
+    route once the realized rate collapses."""
+    from tpu_knn.kernels import projection as proj_mod
+
+    rng = np.random.default_rng(6)
+    ref = rng.random((30_000, 3), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.proj_index is not None
+    axis = int(np.asarray(index.proj_index[2]))
+    orig = proj_mod.projection_wins
+    proj_mod.projection_wins = lambda k, m, n: m <= 64
+    try:
+        q = rng.random((8, 3), np.float32)
+        for a in range(3):
+            if a != axis:
+                q[:, a] += 40.0   # far from the mass, in-range projection
+        for _ in range(index.PROJ_FEEDBACK_PERIOD):
+            assert index.proj_index is not None   # not yet evaluated
+            idx, d2 = index.query(q)
+            assert index.last_strategy == "projection"
+            np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+        # Period reached: realized rate ~0 -> demoted.
+        assert index.realized_cert_rate < index.PROJ_REALIZED_MIN
+        assert index.proj_demoted and index.proj_index is None
+        idx, _ = index.query(q)
+        assert index.last_strategy == "fused"
+        np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+    finally:
+        proj_mod.projection_wins = orig
+
+
+def test_auto_projection_feedback_keeps_good_distribution():
+    """In-distribution serving must NOT demote: the realized rate stays
+    at 1 and the projection route survives the feedback checkpoint."""
+    from tpu_knn.kernels import projection as proj_mod
+
+    rng = np.random.default_rng(7)
+    ref = rng.random((30_000, 3), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.proj_index is not None
+    orig = proj_mod.projection_wins
+    proj_mod.projection_wins = lambda k, m, n: m <= 64
+    try:
+        for _ in range(index.PROJ_FEEDBACK_PERIOD):
+            q = rng.random((8, 3), np.float32)
+            idx, _ = index.query(q)
+            assert index.last_strategy == "projection"
+            np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+        assert index.realized_cert_rate >= index.PROJ_REALIZED_MIN
+        assert not index.proj_demoted and index.proj_index is not None
+    finally:
+        proj_mod.projection_wins = orig
+
+
+def test_auto_adversarial_scales_and_identical_projections():
+    """Adversarial fuzz for the auto route (VERDICT r2 item 5): queries
+    at out-of-range coordinate scale and reference sets with identical
+    projections must stay exact regardless of routing decisions."""
+    rng = np.random.default_rng(8)
+    # identical projection values: zero variance on every axis slice
+    ref = np.ones((4_000, 3), np.float32)
+    ref[:, 0] = 0.5   # constant everywhere: degenerate projection
+    index = NNIndex(ref, strategy="auto")
+    q = rng.random((4, 3), np.float32) * 3.0
+    idx, d2 = index.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+    # out-of-range scale: queries at 1000x the reference scale
+    ref2 = rng.random((6_000, 3), np.float32)
+    index2 = NNIndex(ref2, strategy="auto")
+    q2 = (rng.random((8, 3), np.float32) * 1000.0).astype(np.float32)
+    idx2, _ = index2.query(q2)
+    np.testing.assert_array_equal(np.asarray(idx2), oracle(q2, ref2))

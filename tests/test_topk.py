@@ -134,9 +134,13 @@ def test_topk_validation():
         d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
         np.testing.assert_array_equal(
             gi, np.argsort(d2, axis=1, kind="stable")[:, :2])
+    # sharded now SERVES top-K off its prepared shard-resident operands
+    # (VERDICT r2 item 4).
     index = NNIndex(r, strategy="sharded")
-    with pytest.raises(ValueError, match="fused/auto"):
-        index.query(q, neighbors=2)
+    gi, _ = index.query(q, neighbors=2)
+    d2s = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(gi), np.argsort(d2s, axis=1, kind="stable")[:, :2])
 
 
 def test_topk_bounded_pass_same_lane_duplicates():

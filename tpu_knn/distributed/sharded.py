@@ -156,11 +156,24 @@ def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
-                        topk_method: str = "auto"):
+                        topk_method: str = "auto",
+                        n_local: int | None = None,
+                        prepadded: bool = False):
     """Mesh-sharded exact top-K: per-shard single-chip top-K engine
-    (kernels/topk.py — the sweep or banded engine by its own m*K rule),
-    global index rebase, then a top-K merge allreduce (collectives.py)
-    staged sp-then-dcn like the 1-NN reduction."""
+    (kernels/topk.py — the sweep/seeded/banded engine by its own m*K
+    rule), global index rebase, then a top-K merge allreduce
+    (collectives.py) staged sp-then-dcn like the 1-NN reduction.
+
+    prepadded (NNIndex's build-once path, VERDICT r2 item 4): the
+    reference arrives as TWO device-resident prepared operands — the
+    PAD_VALUE-padded (num_shards * n_local, k) AoS array sharded over
+    the reference axes (exact-rerank row gathers) and its zero-k-padded
+    (k_pad, num_shards * n_local) SoA transpose sharded on the lane axis
+    (the scan operand) — so a query re-pads, re-transposes, and
+    re-transfers NOTHING (the v8 shard-once structure, core.cu:873-933,
+    carried through to top-K serving). ``n_local`` then fixes the
+    per-shard width (the prepared layout's, not this builder's choice).
+    """
     from tpu_knn.distributed.collectives import topk_allreduce
     from tpu_knn.kernels.fused import auto_precision
     from tpu_knn.kernels.topk import _build_topk, _sweep_tiles, _auto_method
@@ -177,12 +190,16 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     precision = auto_precision(k, n)
     method = (_auto_method(m_local, kk)
               if topk_method == "auto" else topk_method)
-    if method == "sweep":
-        _, tile_n = _sweep_tiles(k, m_local, cdiv(n, num_shards), kk,
-                                 precision)
-    else:
-        _, tile_n = pick_tiles(k, m_local, cdiv(n, num_shards))
-    n_local = round_up(cdiv(n, num_shards), tile_n)
+    if n_local is None:
+        if method == "sweep":
+            _, tile_n = _sweep_tiles(k, m_local, cdiv(n, num_shards), kk,
+                                     precision)
+        else:
+            _, tile_n = pick_tiles(k, m_local, cdiv(n, num_shards))
+        n_local = round_up(cdiv(n, num_shards), tile_n)
+    elif n_local * num_shards < n or n_local % 128 != 0:
+        raise ValueError(f"prepared n_local={n_local} incompatible with "
+                         f"n={n} over {num_shards} shards")
     n_pad = n_local * num_shards
     k_pad = round_up(k, 8)
     # The LOCAL valid count is n_local everywhere: trailing-shard padding
@@ -193,10 +210,11 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     local_run = _build_topk(m_local, n_local, k, kk, n_local, precision,
                             method)
 
-    def shard_fn(q_local, r_local):
-        r_op = (r_local.T if k_pad == k
-                else jnp.pad(r_local, ((0, 0), (0, k_pad - k))).T,)
-        idx, d2 = local_run(q_local, r_op, r_local)   # (m_local, kk)
+    def shard_fn(q_local, r_local, r_op_local=None):
+        if r_op_local is None:   # per-call path: in-shard SoA transpose
+            r_op_local = (r_local.T if k_pad == k
+                          else jnp.pad(r_local, ((0, 0), (0, k_pad - k))).T)
+        idx, d2 = local_run(q_local, (r_op_local,), r_local)  # (m_local, kk)
         shard_id = jax.lax.axis_index("sp").astype(jnp.int32)
         if has_dcn:
             shard_id = shard_id + jax.lax.axis_index("dcn").astype(jnp.int32) * sp
@@ -207,21 +225,31 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
             d2, gidx = topk_allreduce(d2, gidx, "dcn", kk)
         return gidx, d2
 
+    in_specs = [P("dp", None), P(ref_axes, None)]
+    if prepadded:
+        in_specs.append(P(None, ref_axes))
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("dp", None), P(ref_axes, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )
 
-    @jax.jit
-    def run(search, ref):
-        q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
-        ref = jnp.pad(ref, ((0, n_pad - n), (0, 0)),
-                      constant_values=PAD_VALUE)
-        idx, d2 = mapped(q, ref)
-        return idx[:m], d2[:m]
+    if prepadded:
+        @jax.jit
+        def run(search, ref, r_ops):
+            q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
+            idx, d2 = mapped(q, ref, r_ops)
+            return idx[:m], d2[:m]
+    else:
+        @jax.jit
+        def run(search, ref):
+            q = jnp.pad(search, ((0, m_pad - m), (0, 0)))
+            ref = jnp.pad(ref, ((0, n_pad - n), (0, 0)),
+                          constant_values=PAD_VALUE)
+            idx, d2 = mapped(q, ref)
+            return idx[:m], d2[:m]
 
     return run
 
