@@ -333,7 +333,7 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
 def _seeded_sweep_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref,
                          s_buf, pending, *state, kk: int, n: int,
                          tile_m: int, tile_n: int, n_tiles: int,
-                         precision: str):
+                         precision: str, guard: str = "bits"):
     """Bound-seeded batch sweep — the batch-regime top-K engine
     (VERDICT r2 item 1: the plain sweep pays a K-deep compare-exchange
     chain on EVERY chunk, 12.7x the 1-NN pace at m=1024).
@@ -379,12 +379,42 @@ def _seeded_sweep_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref,
     worst = s_refs[kk - 1][row, :]                   # (tile_m, 128)
     chunks = tile_n // 128
 
-    def scan_chunk(c, cnt):
-        hit = jnp.any(s_buf[:, pl.ds(c * 128, 128)] <= worst)
-        pending[cnt] = c          # unconditional; overwritten unless hit
-        return cnt + hit.astype(jnp.int32)
+    if guard == "queue":
+        # One vector->scalar `any` PER CHUNK: measured 24.5 ms at
+        # (m=1024, n=2^20) — the 65K scalar syncs dominate everything
+        # (k=3 and k=16 time IDENTICALLY). Kept for measurement.
+        def scan_chunk(c, cnt):
+            hit = jnp.any(s_buf[:, pl.ds(c * 128, 128)] <= worst)
+            pending[cnt] = c      # unconditional; overwritten unless hit
+            return cnt + hit.astype(jnp.int32)
 
-    cnt = jax.lax.fori_loop(0, chunks, scan_chunk, jnp.int32(0))
+        cnt = jax.lax.fori_loop(0, chunks, scan_chunk, jnp.int32(0))
+    elif guard == "bits":
+        # ONE sync per tile: all chunk-hit flags are computed in a
+        # single vectorized reduce — per chunk, the max over its
+        # (tile_m, 128) elements of (2^chunk where hit else 0) — and
+        # summed into one scalar (distinct powers of two: exact in f32
+        # for chunks <= 24). A pure-SCALAR loop then unpacks the bits
+        # into the SMEM pending queue, so the vector pipeline never
+        # waits on per-chunk branches or scalar extractions.
+        mask3 = s.reshape(tile_m, chunks, 128) <= worst[:, None, :]
+        # Integer weights 1 << c, NOT exp2: exp2(c) is approximate
+        # (exp2(15) ~ 32767.9985 observed), and a float sum truncates
+        # low bits on the int cast — bit 0 silently vanished.
+        w3 = jnp.left_shift(
+            jnp.int32(1),
+            jax.lax.broadcasted_iota(jnp.int32, (tile_m, chunks, 128), 1))
+        packed_i = jnp.sum(
+            jnp.max(jnp.where(mask3, w3, 0), axis=(0, 2)))
+
+        def unpack(c, cnt):
+            bit = (packed_i >> c) & 1
+            pending[cnt] = c
+            return cnt + bit
+
+        cnt = jax.lax.fori_loop(0, chunks, unpack, jnp.int32(0))
+    else:
+        raise ValueError(f"unknown guard {guard!r}")
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
 
@@ -421,12 +451,16 @@ SEEDED_STATE_BUDGET = 8192
 @functools.lru_cache(maxsize=None)
 def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
                              tile_m: int, tile_n: int, precision: str,
-                             n_ops: int | None = None):
+                             n_ops: int | None = None,
+                             guard: str = "bits"):
     """(search (m,k), SoA ref ops, bound (m,1)) -> (idx, score) per-lane
     K-deep candidate lists from ONE seeded reference sweep (see
     _seeded_sweep_kernel). Requires m * kk <= SEEDED_STATE_BUDGET."""
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
+    if guard == "bits" and tile_n // 128 > 24:
+        raise ValueError("bits guard packs chunk flags into one f32-exact "
+                         "scalar: tile_n // 128 must be <= 24")
     if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
         raise ValueError(f"sweep engines serve K in [1, {SWEEP_MAX_NEIGHBORS}]")
     k_pad = round_up(k, 8)
@@ -446,7 +480,7 @@ def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
     call = pl.pallas_call(
         functools.partial(_seeded_sweep_kernel, kk=kk, n=n, tile_m=tile_m,
                           tile_n=tile_n, n_tiles=n_tiles,
-                          precision=precision),
+                          precision=precision, guard=guard),
         grid=(n_tiles, m_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda j, i: (i, 0),
