@@ -94,8 +94,16 @@ def main():
         print(f"  A xla pad+T            : {ms:8.3f} ms "
               f"({gb / ms * 1e3:6.0f} GB/s, iters={it})", flush=True)
 
-        # B/C. Pallas relayout kernels
-        for flavor in ("mosaic", "dot"):
+        # B/C. Pallas relayout kernels. NEGATIVE RESULT (2026-08-17):
+        # every variant crashes the TPU AOT compile helper (HTTP 500)
+        # — a Pallas input of shape (n, k<=16) forces the row-major
+        # T(8,128) layout, whose HBM form is 8x lane-padded (the D
+        # probe's OOM dump shows f32[2^24,16]{1,0:T(8,128)} = 8 GB for
+        # a 1 GB array). The SoA (k_pad, n) operand is the layout
+        # canonicalization itself; XLA's pad+T at ~600 GB/s IS the
+        # relayout floor. Gated off by default.
+        for flavor in (("mosaic", "dot") if "--relayout" in sys.argv
+                       else ()):
             for tile_nr in (512, 2048):
                 try:
                     rl = build_relayout(n, k, tile_nr, flavor)
@@ -119,8 +127,10 @@ def main():
                     print(f"  {flavor} tile_nr={tile_nr}: FAILED "
                           f"{type(e).__name__}: {e}"[:240], flush=True)
 
-        # D. layout probe: row-major reinterpret + consume
-        if (n * k) % 128 == 0:
+        # D. layout probe: row-major reinterpret + consume. NEGATIVE
+        # RESULT: OOMs — the reshape forces the 8x-padded row-major
+        # layout of the whole array (see above). Gated off.
+        if "--reinterp" in sys.argv and (n * k) % 128 == 0:
             @jax.jit
             def reinterp(r):
                 v = r.reshape(n * k // 128, 128)

@@ -306,10 +306,12 @@ def test_api_neighbors_validation_consistent_at_m0():
 
 
 def test_seeded_engine_differential():
-    """The bound-seeded batch sweep (VERDICT r2 item 1) must match the
-    K-pass banded engine exactly — including planted duplicates, same-
-    lane duplicates, and a query equal to reference points (boundary
-    ties at the seed bound B)."""
+    """The extraction-based batch engine (VERDICT r2 item 1) vs the
+    K-pass banded engine and the oracle. The extraction engine selects
+    by EXACT distance over a certified superset of the approx-score
+    top-K, so per-rank exact distances must match the oracle exactly up
+    to f32 reduction noise; planted duplicates (d2 == 0, unambiguous)
+    must match index-for-index including the lex tie rule."""
     rng = np.random.default_rng(21)
     q = rng.random((48, 5), np.float32)
     r = rng.random((9000, 5), np.float32)
@@ -317,37 +319,47 @@ def test_seeded_engine_differential():
     r[100] = r[228] = r[356]  # same-lane triplet (128 apart)
     r[42] = q[3]              # d=0 hit
     r[77] = q[7]
-    r[77 + 128] = q[7]        # d=0 duplicate in the same lane
+    r[77 + 128] = q[7]        # d=0 duplicate in the same lane/cell
     D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
     for kk in (2, 8, 32):
         si, sd = topk_knn(q, r, kk, method="seeded")
         pi, pd = topk_knn(q, r, kk, method="passes")
-        np.testing.assert_array_equal(np.asarray(si), np.asarray(pi))
-        np.testing.assert_array_equal(np.asarray(sd), np.asarray(pd))
-        # vs the oracle: per-rank exact distances must agree (the
-        # selected SET may swap approx-score near-ties at the K
-        # boundary — the engines' documented tolerance class — but any
-        # real selection miss shows as a distance gap).
         want_d = np.sort(D, axis=1)[:, :kk]
-        np.testing.assert_allclose(np.asarray(sd), want_d,
-                                   rtol=1e-5, atol=1e-6)
+        for got in (np.asarray(sd), np.asarray(pd)):
+            np.testing.assert_allclose(got, want_d, rtol=1e-5, atol=1e-6)
+        # unambiguous rows (planted zeros + clear gaps): exact indices
+        np.testing.assert_array_equal(np.asarray(si)[3, 0], 42)
+        np.testing.assert_array_equal(np.asarray(pi)[3, 0], 42)
+        if kk >= 2:
+            np.testing.assert_array_equal(np.asarray(si)[7, :2],
+                                          [77, 77 + 128])
 
 
-def test_seeded_engine_m_chunk_splitting():
-    """m * K beyond the seeded K-state VMEM budget splits the batch into
-    m-chunks (each one full reference read); results must be seamless
-    across the chunk boundary."""
-    from tpu_knn.kernels.topk import SEEDED_STATE_BUDGET
-
+def test_seeded_engine_large_batch_and_duplicate_fallback():
+    """Large m (the extraction engine is stateless — no batch split) and
+    the certified fallback: a cell with >= 3 qualifiers (planted
+    duplicate cluster inside one 128-lane cell) must route the batch to
+    the passes engine and stay exact."""
     rng = np.random.default_rng(22)
     kk = 16
-    m = SEEDED_STATE_BUDGET // kk + 8   # forces 2 chunks (512 + 8)
-    q = rng.random((m, 3), np.float32)
-    r = rng.random((4000, 3), np.float32)
-    r[1234] = q[SEEDED_STATE_BUDGET // kk]     # d=0 in the second chunk
-    r[99] = q[SEEDED_STATE_BUDGET // kk - 1]   # d=0 at the boundary
+    m = 520
+    q = rng.random((m, 3)).astype(np.float32)
+    r = rng.random((4000, 3)).astype(np.float32)
+    r[1234] = q[519]
+    r[99] = q[511]
     si, sd = topk_knn(q, r, kk, method="seeded")
-    np.testing.assert_array_equal(np.asarray(si), oracle_topk(q, r, kk))
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1)[:, :kk],
+                               rtol=1e-5, atol=1e-6)
+    assert int(np.asarray(si)[519, 0]) == 1234
+    # >= 3 duplicates of a query point within ONE cell (cols 5, 17, 29
+    # share cell 0): cnt >= 3 -> certified fallback -> still exact.
+    r2 = rng.random((4000, 3)).astype(np.float32) + 2.0
+    for c in (5, 17, 29, 41):
+        r2[c] = q[0]
+    si2, sd2 = topk_knn(q[:8], r2, 4, method="seeded")
+    np.testing.assert_array_equal(np.asarray(si2)[0], [5, 17, 29, 41])
+    assert np.all(np.asarray(sd2)[0] == 0.0)
 
 
 def test_seeded_engine_ragged_n_and_auto_routing():

@@ -330,178 +330,131 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
     return candidates
 
 
-def _seeded_sweep_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref,
-                         s_buf, pending, *state, kk: int, n: int,
-                         tile_m: int, tile_n: int, n_tiles: int,
-                         precision: str, guard: str = "bits"):
-    """Bound-seeded batch sweep — the batch-regime top-K engine
-    (VERDICT r2 item 1: the plain sweep pays a K-deep compare-exchange
-    chain on EVERY chunk, 12.7x the 1-NN pace at m=1024).
+def _extract_sweep_kernel(q_ref, r_ref, bs_ref, out1_ref, out2_ref, *,
+                          n: int, tile_m: int, tile_n: int,
+                          precision: str):
+    """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
+    engine (VERDICT r2 item 1), third design iteration.
 
-    Grid (n_tiles, m_tiles), m innermost: the reference block index map
-    is constant in i, so R streams through VMEM ONCE regardless of
-    tile_m (a conventional m-outer grid re-reads R per m-tile). The
-    whole batch's per-lane K-state lives in VMEM scratch ((m_pad, 128)
-    per level), seeded at (B_row, I32_MAX) where B_row is a provable
-    upper bound on the row's global K-th score (from a preceding 1-NN
-    candidates pass): only true top-K contenders can ever enter, so
-    insertions are ~2K per row over the WHOLE scan.
+    Why not a per-lane K-state? The compare-exchange insertion chain
+    runs at ~1/5 the VPU's simple-op rate (measured: the unbounded
+    sweep needs 58 ms at (16,1024,2^20,K=8)), and with hundreds of
+    query rows sharing each chunk guard, SOME row qualifies in ~25% of
+    chunks even under bound seeding — chain variants bottomed out at
+    15.2 ms (queue/bits guards, docs/PERF_NOTES.md "Seeded batch
+    sweep"). This kernel keeps NO selection state at all. Per 128-lane
+    chunk it emits two tiny f32 moments of the qualifying-element set
+    {l : score(row, chunk*128+l) <= B_row} (B_row: a provable upper
+    bound on the row's K-th score from a 1-NN pre-pass):
 
-    The per-chunk work is restructured around that sparsity with a
-    branchless SMEM pending queue: loop 1 streams the tile's chunks,
-    computes the one-compare guard ("any element <= some lane's current
-    worst?") and unconditionally stores the chunk id at pending[cnt],
-    advancing cnt only on hit — no vector-pipeline branch anywhere
-    (a chunk-level lax.cond was measured 4x slower at m=1 and 92 ms at
-    batch scale, PERF_NOTES "Bound-seeded two-pass"). Loop 2 is a
-    dynamic-trip fori over the cnt recorded hits only, running the
-    K-level insertion chain (_kstate_insert — the lex cascade preserves
-    v0's tie rule) on those chunks. Guard staleness is safe: the worst
-    only tightens within a tile, so a stale check admits a superset."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-    s_refs = state[0::2]
-    i_refs = state[1::2]
-    row = pl.ds(i * tile_m, tile_m)
+      S1 = cnt + 256 * sum(l)     (fields exact: cnt <= 128, sum(l)
+                                   <= 128*127, so S1 < 2^23)
+      S2 = sum(l^2)               (<= 128*127^2 < 2^22)
 
-    @pl.when(j == 0)
-    def _():
-        b = jnp.broadcast_to(bs_ref[:], (tile_m, 128))
-        for l in range(kk):
-            s_refs[l][row, :] = b
-            i_refs[l][row, :] = jnp.full((tile_m, 128), _I32_MAX, jnp.int32)
-
+    cnt <= 2 cells are solved EXACTLY outside the kernel: l1 + l2 =
+    sum, (l1-l2)^2 = 2*S2 - sum^2 is a perfect square whose f32 sqrt
+    is exact, so both lane ids recover as exact integers. cnt >= 3
+    (expected ~0.4% of uniform batches; any duplicate-heavy adversarial
+    row) is CERTIFIED DETECTABLE and the whole batch falls back to the
+    banded passes engine — guard-verify-delegate (core.cu:481-485).
+    The hot loop is score + compare + two where/reduce passes: no
+    insertion chains, no scalar round trips, no VMEM state.
+    """
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1) + j * tile_n
-    s = jnp.where(col < n, s, jnp.inf)
-    s_buf[:] = s
-
-    worst = s_refs[kk - 1][row, :]                   # (tile_m, 128)
     chunks = tile_n // 128
+    ragged = (n % tile_n) != 0
+    if ragged:
+        # Only ragged operands pay the column mask (the fused kernel's
+        # trick); most shapes have n % tile_n == 0 and skip these iotas.
+        col = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+               + j * tile_n)
+        s = jnp.where(col < n, s, jnp.inf)
+    # Reshape the f32 SCORES to 3D and build the mask there: Mosaic
+    # shape-casts f32 vectors but rejects i1 ("unsupported shape cast").
+    s3 = s.reshape(tile_m, chunks, 128)
+    m3 = (s3 <= bs_ref[:][:, :, None]).astype(jnp.float32)
+    # Lane weights from ONE tiny (1, 128) iota (a full-tile 3D iota +
+    # cast costs real VPU time; Pallas also forbids captured array
+    # constants): w1 packs the count and lane-sum fields, w2 the
+    # lane-square sum.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+        jnp.float32).reshape(1, 1, 128)
+    w1 = 1.0 + 256.0 * lane
+    w2 = lane * lane
+    s1 = jnp.sum(m3 * w1, axis=-1)
+    s2 = jnp.sum(m3 * w2, axis=-1)
+    # Output blocks are (tile_m, 128) cell groups shared by g = 128 //
+    # chunks consecutive n-tiles (Mosaic requires 128-divisible output
+    # lanes, and dynamic lane-offset stores must be 128-aligned — a
+    # (tile_m, chunks) block or a pl.ds sub-slice store both fail to
+    # lower). Each invocation zero-pads its chunk sums to the block
+    # width, lane-rolls them into position, and accumulates; the block
+    # flushes to HBM when j // g advances.
+    g = 128 // chunks
+    s1p = pltpu.roll(jnp.pad(s1, ((0, 0), (0, 128 - chunks))),
+                     (j % g) * chunks, 1)
+    s2p = pltpu.roll(jnp.pad(s2, ((0, 0), (0, 128 - chunks))),
+                     (j % g) * chunks, 1)
 
-    if guard == "queue":
-        # One vector->scalar `any` PER CHUNK: measured 24.5 ms at
-        # (m=1024, n=2^20) — the 65K scalar syncs dominate everything
-        # (k=3 and k=16 time IDENTICALLY). Kept for measurement.
-        def scan_chunk(c, cnt):
-            hit = jnp.any(s_buf[:, pl.ds(c * 128, 128)] <= worst)
-            pending[cnt] = c      # unconditional; overwritten unless hit
-            return cnt + hit.astype(jnp.int32)
-
-        cnt = jax.lax.fori_loop(0, chunks, scan_chunk, jnp.int32(0))
-    elif guard == "bits":
-        # ONE sync per tile: all chunk-hit flags are computed in a
-        # single vectorized reduce — per chunk, the max over its
-        # (tile_m, 128) elements of (2^chunk where hit else 0) — and
-        # summed into one scalar (distinct powers of two: exact in f32
-        # for chunks <= 24). A pure-SCALAR loop then unpacks the bits
-        # into the SMEM pending queue, so the vector pipeline never
-        # waits on per-chunk branches or scalar extractions.
-        mask3 = s.reshape(tile_m, chunks, 128) <= worst[:, None, :]
-        # Integer weights 1 << c, NOT exp2: exp2(c) is approximate
-        # (exp2(15) ~ 32767.9985 observed), and a float sum truncates
-        # low bits on the int cast — bit 0 silently vanished.
-        w3 = jnp.left_shift(
-            jnp.int32(1),
-            jax.lax.broadcasted_iota(jnp.int32, (tile_m, chunks, 128), 1))
-        packed_i = jnp.sum(
-            jnp.max(jnp.where(mask3, w3, 0), axis=(0, 2)))
-
-        def unpack(c, cnt):
-            bit = (packed_i >> c) & 1
-            pending[cnt] = c
-            return cnt + bit
-
-        cnt = jax.lax.fori_loop(0, chunks, unpack, jnp.int32(0))
-    else:
-        raise ValueError(f"unknown guard {guard!r}")
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
-
-    def insert_pending(h, carry):
-        ls, li = carry
-        c = pending[h]
-        new_s = s_buf[:, pl.ds(c * 128, 128)]
-        new_i = lane + (j * tile_n + c * 128)
-        return _kstate_insert(ls, li, new_s, new_i, kk)
-
-    @pl.when(cnt > 0)
+    @pl.when(j % g == 0)
     def _():
-        ls, li = jax.lax.fori_loop(
-            0, cnt, insert_pending,
-            (tuple(r[row, :] for r in s_refs),
-             tuple(r[row, :] for r in i_refs)),
-        )
-        for l in range(kk):
-            s_refs[l][row, :] = ls[l]
-            i_refs[l][row, :] = li[l]
+        out1_ref[:] = s1p
+        out2_ref[:] = s2p
 
-    @pl.when(j == n_tiles - 1)
+    @pl.when(j % g != 0)
     def _():
-        out_s_ref[:] = jnp.concatenate([r[row, :] for r in s_refs], axis=1)
-        out_i_ref[:] = jnp.concatenate([r[row, :] for r in i_refs], axis=1)
-
-
-#: VMEM budget for the seeded engine's whole-batch K-state: m_pad * kk
-#: capped so 2 * m_pad * 128 * 4 * kk bytes stays ~8 MB; larger batches
-#: split into m-chunks (each pays one full reference read).
-SEEDED_STATE_BUDGET = 8192
+        out1_ref[:] = out1_ref[:] + s1p
+        out2_ref[:] = out2_ref[:] + s2p
 
 
 @functools.lru_cache(maxsize=None)
-def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
-                             tile_m: int, tile_n: int, precision: str,
-                             n_ops: int | None = None,
-                             guard: str = "bits"):
-    """(search (m,k), SoA ref ops, bound (m,1)) -> (idx, score) per-lane
-    K-deep candidate lists from ONE seeded reference sweep (see
-    _seeded_sweep_kernel). Requires m * kk <= SEEDED_STATE_BUDGET."""
+def _build_extract_candidates(m: int, n: int, k: int,
+                              tile_m: int, tile_n: int, precision: str,
+                              n_ops: int | None = None):
+    """(search (m,k), SoA ref ops, bound (m,1)) -> (S1, S2) moment
+    arrays of shape (m, n_ops // 128) — see _extract_sweep_kernel."""
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
-    if guard == "bits" and tile_n // 128 > 24:
-        raise ValueError("bits guard packs chunk flags into one f32-exact "
-                         "scalar: tile_n // 128 must be <= 24")
-    if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
-        raise ValueError(f"sweep engines serve K in [1, {SWEEP_MAX_NEIGHBORS}]")
     k_pad = round_up(k, 8)
     m_pad = round_up(m, tile_m)
-    if m_pad * kk > SEEDED_STATE_BUDGET:
-        raise ValueError(
-            f"m_pad * kk = {m_pad * kk} exceeds the seeded K-state budget "
-            f"{SEEDED_STATE_BUDGET}; split the batch (see _build_topk)")
     n_pad = n_ops if n_ops is not None else round_up(n, tile_n)
     if n_pad < n or n_pad % tile_n != 0:
         raise ValueError(f"operand width {n_pad} incompatible with "
                          f"n={n}, tile_n={tile_n}")
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
-    out_spec = pl.BlockSpec((tile_m, kk * 128), lambda j, i: (i, 0),
+    chunks = tile_n // 128
+    if chunks > 128 or 128 % chunks != 0:
+        raise ValueError("tile_n must give a power-of-two chunk count "
+                         f"dividing 128, got {chunks}")
+    nc = n_pad // 128
+    #: cells beyond nc (the ragged tail of the last 128-cell output
+    #: block) are never written — callers mask cells >= nc.
+    nc_pad = round_up(nc, 128)
+    g = 128 // chunks
+    out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        functools.partial(_seeded_sweep_kernel, kk=kk, n=n, tile_m=tile_m,
-                          tile_n=tile_n, n_tiles=n_tiles,
-                          precision=precision, guard=guard),
-        grid=(n_tiles, m_tiles),
+        functools.partial(_extract_sweep_kernel, n=n, tile_m=tile_m,
+                          tile_n=tile_n, precision=precision),
+        grid=(m_tiles, n_tiles),
         in_specs=[
-            pl.BlockSpec((tile_m, k_pad), lambda j, i: (i, 0),
+            pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_pad, tile_n), lambda j, i: (0, j),
+            pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((m_pad, kk * 128), jnp.float32),
-                   jax.ShapeDtypeStruct((m_pad, kk * 128), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32),
-                        pltpu.SMEM((tile_n // 128 + 1,), jnp.int32)]
-                       + [pltpu.VMEM((m_pad, 128), dt)
-                          for _ in range(kk)
-                          for dt in (jnp.float32, jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, nc_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((m_pad, nc_pad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k_pad,
             bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
-                            + m_pad * kk * 1024),
+                            + 2 * m_pad * nc * 4),
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -510,9 +463,8 @@ def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
     def prep_soa(ref):
         return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
 
-    def candidates(search, ref_ops, bound_s):
-        """bound_s (m, 1) f32: per-query upper bound on the global K-th
-        kernel score. Rows beyond m seed at -inf (nothing qualifies)."""
+    def moments(search, ref_ops, bound_s):
+        """bound_s (m, 1) f32; rows beyond m get -inf (no qualifiers)."""
         (r_op,) = ref_ops
         if r_op.shape != (k_pad, n_pad):
             raise ValueError(
@@ -520,11 +472,18 @@ def _build_seeded_candidates(m: int, n: int, k: int, kk: int,
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
                      constant_values=-jnp.inf)
-        cs, ci = call(q, r_op, bs)
-        return ci[:m], cs[:m]
+        s1, s2 = call(q, r_op, bs)
+        # Mask the never-written ragged tail cells (>= nc) so callers
+        # see zero counts there.
+        if nc_pad != nc:
+            cell = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
+            live = cell < nc
+            s1 = jnp.where(live, s1, 0.0)
+            s2 = jnp.where(live, s2, 0.0)
+        return s1[:m], s2[:m]
 
-    candidates.prep_soa = prep_soa
-    return candidates
+    moments.prep_soa = prep_soa
+    return moments
 
 
 def _sweep_tiles(k: int, m: int, n: int, kk: int,
@@ -710,64 +669,106 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
             raise ValueError(
                 f"seeded engine serves K in [1, {SWEEP_MAX_NEIGHBORS}]")
-        tile_m = min(128, round_up(m, 8))
-        # Batches beyond the K-state VMEM budget split into m-chunks;
-        # each chunk pays one full reference read (ceil(m*kk/budget)
-        # reads total — still far under the passes engine's K).
-        m_chunk = max(tile_m, (SEEDED_STATE_BUDGET // kk) // tile_m * tile_m)
-        m_chunk = min(m_chunk, round_up(m, tile_m))
-        k_pad = round_up(k, 8)
-        # tile_n: fill VMEM left after the K-state + score/staging tiles.
-        state_bytes = kk * round_up(min(m, m_chunk), tile_m) * 1024
-        tile_n = ((14 << 20) - state_bytes) // (12 * tile_m + 16 * k_pad)
-        tile_n = max(512, min(2048, (tile_n // 128) * 128))
-        tile_n = min(tile_n, n_ops)
-        while n_ops % tile_n != 0:
-            tile_n -= 128
+        tile_m, tile_n = pick_tiles(k, m, n)
+        # The extraction kernel needs a power-of-two chunk count that
+        # divides 128 (its grouped output blocks); pick the widest
+        # 128 * 2^p tile dividing the operand width (128 always does).
+        t = 128
+        while t * 2 <= min(tile_n, n_ops) and n_ops % (t * 2) == 0:
+            t *= 2
+        tile_n = t
+        extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
+                                            precision, n_ops=n_ops)
         # Pass 1 (the bound): the banded candidates kernel with a -inf
         # band is exactly the unbanded per-lane top-1 fold, and already
         # speaks the n_ops prepadded-operand protocol.
-        p1_tile_m, p1_tile_n = pick_tiles(k, min(m, m_chunk), n,
+        p1_tile_m, p1_tile_n = pick_tiles(k, m, n,
                                           wide=precision == "packed")
         p1_tile_n = min(p1_tile_n, n_ops)
         while n_ops % p1_tile_n != 0:
             p1_tile_n -= 128
-
-        def chunk_runs(mc):
-            pass1 = _build_banded_candidates(mc, n, k, p1_tile_m, p1_tile_n,
-                                             precision, n_ops=n_ops)
-            seeded = _build_seeded_candidates(mc, n, k, kk, tile_m, tile_n,
-                                              precision, n_ops=n_ops)
-
-            def go(search, r_ops):
-                no_band_s = jnp.full((mc, 1), -jnp.inf, jnp.float32)
-                no_band_i = jnp.full((mc, 1), -1, jnp.int32)
-                _i1, cs1 = pass1(search, r_ops, no_band_s, no_band_i)
-                # B = K-th smallest of the 128 per-lane minima: at least
-                # K distinct elements score <= B, so the global K-th
-                # score is <= B. Inflated by 2^-20 relative (a LOOSER
-                # bound is always safe — it only admits extra
-                # candidates) to stay robust if kernel score bits ever
-                # diverge between geometries; NaN bounds (inf-coordinate
-                # data) degrade to an unseeded sweep, never to a miss.
-                bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
-                bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
-                bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
-                return seeded(search, r_ops, bound)
-
-            return go
-
-        bounds = [(s, min(m, s + m_chunk)) for s in range(0, m, m_chunk)]
-        runs = {}
-        for s, e in bounds:
-            runs.setdefault(e - s, chunk_runs(e - s))
+        pass1 = _build_banded_candidates(m, n, k, p1_tile_m, p1_tile_n,
+                                         precision, n_ops=n_ops)
+        # The certified fallback: exact for ANY qualifier distribution.
+        fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
+        nc = n_ops // 128
+        cap = min(nc, 2 * kk + 16)
 
         @jax.jit
         def run(search, r_ops, ref_aos):
-            outs = [runs[e - s](search[s:e], r_ops) for s, e in bounds]
-            ci = jnp.concatenate([o[0] for o in outs], axis=0)
-            cs = jnp.concatenate([o[1] for o in outs], axis=0)
-            return _finalize_topk(search, ref_aos, ci, cs, kk, n)
+            no_band_s = jnp.full((m, 1), -jnp.inf, jnp.float32)
+            no_band_i = jnp.full((m, 1), -1, jnp.int32)
+            _i1, cs1 = pass1(search, r_ops, no_band_s, no_band_i)
+            # B = K-th smallest of the 128 per-lane minima: at least K
+            # distinct elements score <= B, so the global K-th score is
+            # <= B. Inflated by 2^-20 relative (a LOOSER bound is always
+            # safe — it only admits extra qualifiers); NaN bounds
+            # (inf-coordinate data) become +inf, which floods the counts
+            # and trips the cnt>=3 fallback — never a silent miss.
+            bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
+            bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
+            bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+            s1, s2 = extract(search, r_ops, bound)       # (m, nc) f32
+            s1i = s1.astype(jnp.int32)
+            cnt = s1i & 255
+            suml = (s1i >> 8).astype(jnp.float32)
+            # Compact the qualifying cells: keys rank them by ascending
+            # cell id; top_k returns the first `cap` per row.
+            qual = cnt > 0
+            key = jnp.where(
+                qual,
+                nc - jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1), 0)
+            vals, _pos = jax.lax.top_k(key, cap)
+            valid = vals > 0
+            cellc = jnp.where(valid, nc - vals, 0)
+            take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
+            c_cnt, c_s, c_q = take(cnt), take(suml), take(s2)
+            # cnt == 2: l1 + l2 = c_s and (l1 - l2)^2 = 2*c_q - c_s^2, a
+            # perfect square (exact f32 sqrt) -> both lane ids exact.
+            # cnt == 1: the quadratic degenerates to (0, l); only l2 is
+            # real. Lanes -> global columns via the cell base.
+            d = jnp.sqrt(jnp.maximum(2.0 * c_q - c_s * c_s, 0.0))
+            l1 = ((c_s - d) * 0.5).astype(jnp.int32)
+            l2 = ((c_s + d) * 0.5).astype(jnp.int32)
+            base = cellc * 128
+            col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
+            col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
+            cols = jnp.concatenate([col2, col1], axis=1)   # (m, 2*cap)
+            if cols.shape[1] < kk:
+                # Tiny n: fewer cells than K/2 — widen with sentinels so
+                # the output shape honors the contract; certification
+                # (>= K recovered) then routes such shapes to fallback.
+                cols = jnp.pad(cols, ((0, 0), (0, kk - cols.shape[1])),
+                               constant_values=n)
+            # Exact diff-form distances + (d2, index) sort — selection
+            # here is by EXACT distance over the certified superset
+            # (score <= B covers the approx-score top-K), so this
+            # engine's output is at oracle conditioning; sentinels (col
+            # == n) sort to the end as (+inf, I32_MAX).
+            in_range = cols < n
+            safe = jnp.where(in_range, cols, 0)
+            pts = jnp.take(ref_aos, safe.reshape(-1), axis=0)
+            pts = pts.reshape(m, -1, ref_aos.shape[1])
+            diff = search[:, None, :] - pts
+            d2 = jnp.where(in_range, jnp.sum(diff * diff, axis=-1),
+                           jnp.inf)
+            ci = jnp.where(in_range, cols, _I32_MAX)
+            d2s, cis = jax.lax.sort((d2, ci), dimension=-1, num_keys=2)
+            idx_k = cis[:, :kk]
+            d2_k = d2s[:, :kk]
+            idx_k = jnp.where(idx_k < n, idx_k, -1)
+            # Certification: every qualifier was recovered iff no cell
+            # overflowed the 2-root solver, no row overflowed the cell
+            # cap, and each row yielded >= K candidates.
+            certified = ((jnp.max(cnt) <= 2)
+                         & jnp.all(jnp.sum(qual, axis=1) <= cap)
+                         & jnp.all(jnp.sum(jnp.minimum(cnt, 2), axis=1)
+                                   >= kk))
+            return jax.lax.cond(
+                certified,
+                lambda _: (idx_k, d2_k),
+                lambda _: fallback_run(search, r_ops, ref_aos),
+                None)
 
         return run
     if method != "passes":
