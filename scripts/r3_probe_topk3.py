@@ -70,9 +70,8 @@ def main():
 
     # timings
     for k, m, n, kk in ((16, 1024, 1 << 20, 8), (16, 1024, 1 << 20, 16),
-                        (16, 256, 1 << 20, 8), (16, 64, 1 << 20, 8),
-                        (3, 1024, 1 << 20, 8), (16, 1024, 1 << 20, 32),
-                        (16, 4096, 1 << 20, 8)):
+                        (16, 4096, 1 << 20, 8), (3, 1024, 1 << 20, 8),
+                        (16, 1024, 1 << 20, 32)):
         q, ref, r_op, n_ops = build_ops(m, n, k)
         prec = auto_precision(k, n)
         try:

@@ -118,8 +118,9 @@ def main():
     bound = jnp.full((m, 1), 0.001, jnp.float32)
     jax.block_until_ready((r_op, bound))
     for tile_m, tile_n in ((512, 2048), (256, 4096), (512, 4096),
-                           (128, 8192), (256, 8192)):
-        for variant in ("score", "mask", "one", "full"):
+                           (128, 8192), (256, 8192), (1024, 2048),
+                           (512, 8192)):
+        for variant in ("full",):
             try:
                 call = build(m, n, k, tile_m, tile_n, variant)
 

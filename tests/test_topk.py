@@ -380,3 +380,18 @@ def test_seeded_engine_ragged_n_and_auto_routing():
     r2 = rng.random((100, 3), np.float32)
     si2, _ = topk_knn(q2, r2, 16, method="seeded")
     np.testing.assert_array_equal(np.asarray(si2), oracle_topk(q2, r2, 16))
+
+
+def test_seeded_engine_row_chunking_beyond_2048():
+    """m > 2048 splits into 1024-row sub-batches (post-compaction cost
+    is nonlinear in m); results must be seamless across boundaries."""
+    rng = np.random.default_rng(24)
+    m = 2056
+    q = rng.random((m, 3)).astype(np.float32)
+    r = rng.random((1500, 3)).astype(np.float32)
+    r[700] = q[2055]   # d=0 in the final ragged sub-batch
+    si, sd = topk_knn(q, r, 4, method="seeded")
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1)[:, :4],
+                               rtol=1e-5, atol=1e-6)
+    assert int(np.asarray(si)[2055, 0]) == 700

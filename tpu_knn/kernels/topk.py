@@ -2,8 +2,7 @@
 reference's 1-NN contract (core.h:71 returns a single argmin per query;
 production NN services almost always want the K nearest).
 
-Two engines with IDENTICAL selection semantics (differentially tested
-against each other):
+Three engines, differentially tested against each other:
 
 - "sweep" (auto-selected in the serving regime, m*K <= SWEEP_AUTO_BUDGET
   and K <= SWEEP_MAX_NEIGHBORS): per-lane sorted K-deep (score, index)
@@ -16,6 +15,18 @@ against each other):
   seeded at (B, I32_MAX), making the guard reject almost every tile;
   ~2 reference reads, near-K-independent); larger m runs the single MXU
   sweep (one read; insertion amortized across tile_m query rows).
+- "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 32): the
+  round-3 MOMENT-EXTRACTION engine. A 1-NN pre-pass bounds each row's
+  global K-th score; one thresholded scan then emits two tiny f32
+  moments per (row, 128-lane cell) of the qualifying-element set, from
+  which cells with <= 2 qualifiers are solved EXACTLY outside the
+  kernel (perfect-square discriminant); candidates are compacted with
+  lax.top_k and sorted by exact (d2, index). Dense adversarial cells
+  (>= 3 qualifiers) are certified detectable and lax.cond-fall back to
+  "passes". ~2 reference reads at ANY K <= 32; selection is by EXACT
+  distance over a certified superset of the approx-score top-K —
+  strictly tighter conditioning than the score-selected engines.
+  Design history and measurements: docs/PERF_NOTES.md "Round-3".
 - "passes": K lexicographically-banded 1-NN sweeps. Pass j re-runs the
   fused candidate kernel with every element whose (score, index) is
   lex-<= the previous pass's reported (score, index) masked out BEFORE
@@ -23,17 +34,17 @@ against each other):
   the reported point's score from the SAME kernel arithmetic, the
   comparison is approx-vs-approx and bit-exact: the reported point's lane
   yields its runner-up on the next pass, so per-lane top-1 state suffices
-  for any K <= MAX_NEIGHBORS. Cost: K full reference reads — kept as the
-  large-K fallback and as the independent implementation the sweep engine
-  is differentially tested against.
+  for any K <= PASSES_MAX_NEIGHBORS. Cost: K full reference reads — the
+  large-K path, the seeded engine's certified fallback, and the
+  independent implementation the other engines are tested against.
 
-Both enumerate the K smallest points under (kernel-score, index)
-lexicographic order. Kernel scores carry the packed-dot's <= 2^-26
-relative error, so the REPORTED SET matches the true top-K unless an
-approximate-score inversion crosses the K boundary — the same tolerance
-class as the 1-NN engine's candidate selection (and the returned
-distances are always exact f32 diff-form). The output is sorted by exact
-(d2, index), v0's tie rule (core.cu:50-54) extended to K results.
+All engines report the K nearest under v0's tie rule: sweep/passes
+enumerate lex-smallest (kernel-score, index) — the reported set matches
+the true top-K unless an approximate-score inversion crosses the K
+boundary (the 1-NN engine's tolerance class) — while seeded selects by
+exact (d2, index) over a superset bounded in score space. Returned
+distances are always exact f32 diff-form, rows ascending by exact
+(d2, index) (core.cu:50-54 extended to K results).
 """
 
 from __future__ import annotations
@@ -69,14 +80,13 @@ PASSES_MAX_NEIGHBORS = 512
 #: chunk; past this the K-pass engine's linear cost is the better trade.
 SWEEP_MAX_NEIGHBORS = 32
 
-#: Auto-routing boundary, measured on v5e at n=2^20, k=16 (2026-08-17):
-#: the sweep's insertion fold costs ~K compare-exchanges per score element
-#: over tile_m rows, while the K-pass engine costs K full reference scans
-#: independent of m — sweep wins the serving regime (small query batches,
-#: one reference read) and loses once m*K grows past ~256: m=8/K=8 sweep
-#: 2.4x faster (0.354 vs 0.859 ms), m=32/K=8 parity (0.945 vs 1.047),
-#: m=64/K=8 passes 1.65x faster (1.510 vs 2.497), m=1/n=2^24/K=8 sweep
-#: 2.75x faster (5.31 vs 14.59 ms).
+#: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
+#: insertion fold costs ~K compare-exchanges per score element over
+#: tile_m rows — it wins only the small-batch regime (m=8/K=8: 0.354 ms
+#: vs seeded 0.9-class pipelines' fixed two-scan cost; m=32/K=8 sweep
+#: 0.930 vs seeded 1.695). Past m*K = 256 the extraction engine wins
+#: everywhere (m=64/K=8: 0.91 vs sweep 2.40 vs passes 1.45; m=1024/K=8:
+#: ~10 vs passes 23.9 — PERF_NOTES "Round-3").
 SWEEP_AUTO_BUDGET = 256
 
 
@@ -669,12 +679,35 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
             raise ValueError(
                 f"seeded engine serves K in [1, {SWEEP_MAX_NEIGHBORS}]")
-        tile_m, tile_n = pick_tiles(k, m, n)
-        # The extraction kernel needs a power-of-two chunk count that
-        # divides 128 (its grouped output blocks); pick the widest
-        # 128 * 2^p tile dividing the operand width (128 always does).
+        if m > 2048:
+            # The post-kernel compaction degrades nonlinearly past a few
+            # thousand rows (measured: m=4096 cost 12x m=1024, not 4x);
+            # split into 1024-row sub-batches, each a full independent
+            # pipeline with its own certification/fallback.
+            bounds = [(s, min(m, s + 1024)) for s in range(0, m, 1024)]
+            runs = {}
+            for s, e in bounds:
+                if e - s not in runs:
+                    runs[e - s] = _build_topk(e - s, n, k, kk, n_ops,
+                                              precision, "seeded")
+
+            @jax.jit
+            def run_chunked(search, r_ops, ref_aos):
+                outs = [runs[e - s](search[s:e], r_ops, ref_aos)
+                        for s, e in bounds]
+                return (jnp.concatenate([o[0] for o in outs]),
+                        jnp.concatenate([o[1] for o in outs]))
+
+            return run_chunked
+        # Measured geometry (v5e tile sweep, PERF_NOTES "Round-3"):
+        # 128x8192 is fastest (6.08 ms extraction at ds11 scale; 512x2048
+        # 7.06) and VMEM-safe — wider tile_m with wide tile_n crashes the
+        # Mosaic compile. The kernel needs a power-of-two chunk count
+        # dividing 128; pick the widest 128 * 2^p tile dividing the
+        # operand width (128 always does).
+        tile_m = min(128, round_up(m, 8))
         t = 128
-        while t * 2 <= min(tile_n, n_ops) and n_ops % (t * 2) == 0:
+        while t * 2 <= min(8192, n_ops) and n_ops % (t * 2) == 0:
             t *= 2
         tile_n = t
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
