@@ -146,16 +146,39 @@ def main():
         print(f"# {name}: compiled in {compile_s:.1f}s, timing...",
               file=sys.stderr, flush=True)
 
-        # Per-call pipeline, amplified: q AND r are perturbed by i*1e-9 —
-        # the q perturbation defeats loop-invariant hoisting of the scan;
-        # the r perturbation fuses into the pad+transpose prep's first
-        # read pass (free) and keeps the per-call prep inside the loop.
+        # Per-call pipeline, amplified: q AND r are perturbed by i*1e-9.
+        # PROTOCOL NOTE (r3, PERF_NOTES "Per-call prep transpose"): this
+        # is an UPPER bound — at k=16 the r+eps copy does not fuse into
+        # the transpose inside the full-pipeline program (~one extra
+        # reference copy); a carried-operand protocol was tried and
+        # UNDER-measures instead (XLA pushes the one-element update
+        # through the transpose and hoists the relayout). The honest
+        # pipeline floor is the DERIVED prep_ms + prepared-scan sum,
+        # annotated on the row after the prepared sections run.
         def percall_step(i, c, q, r):
             eps = i.astype(jnp.float32) * 1e-9
             idx_a, d2_a = fused_knn(q + eps, r + eps)
             return c + d2_a[0] + idx_a[0].astype(jnp.float32) * 1e-9
 
         ms, iters = calibrated_amplified_ms(percall_step, q, r)
+
+        # The prep (AoS -> padded SoA relayout) alone: in a prep-only
+        # program the eps-add fuses into its read pass, so this is the
+        # clean relayout cost (measured at ~480-610 GB/s — the layout
+        # canonicalization floor, scripts/r3_probe_prep.py).
+        from tpu_knn.utils.shapes import round_up as _ru
+
+        _kp = _ru(k, 8)
+
+        @jax.jit
+        def _prep(rr):
+            return jnp.pad(rr, ((0, 0), (0, _kp - k))).T
+
+        def prep_step(i, c, r):
+            out = _prep(r + i.astype(jnp.float32) * 1e-9)
+            return c + out[0, 0] + out[-1, -1]
+
+        prep_ms, _pit = calibrated_amplified_ms(prep_step, r)
 
         # Cold-dispatch variant: one isolated dispatch with completion
         # forced by reading the (m,) result back — over the axon tunnel
@@ -174,6 +197,7 @@ def main():
             "name": name,
             "k": k, "m": m, "n": n,
             "ms": round(ms, 3),
+            "prep_ms": round(prep_ms, 3),
             "timing": f"amplified x{iters}",
             "compile_s": round(compile_s, 2),
             "reference_ms": base_ms,
@@ -522,6 +546,19 @@ def main():
                 sys.exit(1)
             print(f"# {name}: {tk_ms:.3f} ms errors {errs_t}/{total_t}",
                   file=sys.stderr, flush=True)
+
+    # Derived per-call floor (PERF_NOTES "Per-call prep transpose"):
+    # prep relayout + prepared scan. The amplified per-call row is an
+    # upper bound (its r-perturbation copy does not always fuse); a
+    # carried-operand protocol under-measures (XLA hoists the relayout
+    # through the one-element update) — the sum of the two honestly
+    # measured halves is the pipeline's own cost.
+    by_name = {row["name"]: row for row in details["rows"]}
+    for base in ("ds8", "ds9", "ds11"):
+        pc = by_name.get(base)
+        prepared = by_name.get(f"{base}_prepared_index")
+        if pc and prepared and "prep_ms" in pc:
+            pc["derived_floor_ms"] = round(pc["prep_ms"] + prepared["ms"], 3)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
