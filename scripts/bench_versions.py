@@ -199,16 +199,17 @@ def main():
         run11 = _build_projection_pipeline(m11, n11, k11,
                                            auto_window(k11, n11))
 
-        def step11(i, c, q, r, a, b, cc, d):
-            out, d2, ok = run11(q + i.astype(jnp.float32) * 1e-9, r,
-                                a, b, cc, d)
+        def step11(i, c, q, r, *pre):
+            out, d2, ok = run11(q + i.astype(jnp.float32) * 1e-9, r, *pre)
             return c + d2[0] + out[0].astype(jnp.float32) * 1e-9
 
         ms11, _ = calibrated_amplified_ms(step11, q11, r11, *idx11,
                                           target_ms=300.0)
         tree_rows.append(("v11 (projection window index, (3,16,2^24))",
                           t_build11, ms11,
-                          "TPU-native spatial index; full scan ~3 ms"))
+                          "TPU-native spatial index; full scan ~3 ms; "
+                          "build includes cold-process compile/first-"
+                          "touch — warm rebuild is sub-second"))
         del r11, q11, idx11
     except Exception as e:
         print(f"v11: FAILED {type(e).__name__}: {e}"[:300], file=sys.stderr)
@@ -241,7 +242,8 @@ def main():
     def cell(vname, sname):
         v = results.get(vname, {}).get(sname, float("nan"))
         if np.isnan(v):
-            return notes.get(vname, {}).get(sname, "-")
+            note = notes.get(vname, {}).get(sname, "-")
+            return "crash[1]" if note == "FAILED" else note
         return f"{v:.2f}"
 
     for vname in results:
@@ -258,6 +260,17 @@ def main():
     for vname, vals in REF_ROWS.items():
         cells = " | ".join(f"{v:.2f}" for v in vals)
         lines.append(f"| {vname} | {cells} |")
+    lines += [
+        "",
+        "[1] v3's AoS per-tile-transpose kernel at (m=1, n=2^24) now "
+        "crashes the TPU AOT compile helper: a Pallas (n, k<=16) AoS "
+        "operand forces the 8x lane-padded row-major layout "
+        "(PERF_NOTES 'Per-call prep transpose') — the same wall that "
+        "makes SoA the only viable big-n layout. v3's capability is "
+        "still measured at the m=1024 shapes (its on-chip transpose "
+        "costs ~2.3-2.5x v4's one XLA relayout, the reference's own "
+        "v3-vs-v4 lesson, README.md:105-111).",
+    ]
     if tree_rows:
         lines += [
             "",
