@@ -395,3 +395,43 @@ def test_seeded_engine_row_chunking_beyond_2048():
     np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1)[:, :4],
                                rtol=1e-5, atol=1e-6)
     assert int(np.asarray(si)[2055, 0]) == 700
+
+
+def test_extraction_masks_whole_padding_tiles():
+    """Review r3 regression (CONFIRMED bug): a prepadded operand with
+    WHOLE zero-point padding tiles (n % tile_n == 0 but n_ops > n) must
+    not leak phantom qualifiers into the moment counts — phantom cells
+    flooded cnt and silently routed every batch to the K-pass fallback
+    on zero-centered data."""
+    from tpu_knn.kernels.topk import _build_extract_candidates, _build_topk
+
+    rng = np.random.default_rng(30)
+    m, n, k = 16, 1024, 8
+    q = rng.normal(0, 1, (m, k)).astype(np.float32)
+    r = rng.normal(0, 1, (n, k)).astype(np.float32)
+    import jax.numpy as jnp
+
+    r_op = jnp.pad(jnp.asarray(r), ((0, 1536 - n), (0, 0))).T
+    mom = _build_extract_candidates(m, n, k, 8, 512, "packed", n_ops=1536)
+    s1, _ = mom(jnp.asarray(q), (r_op,), jnp.full((m, 1), 5.0, jnp.float32))
+    cnt = np.asarray(s1).astype(np.int64) & 255
+    assert int((cnt[:, (n + 127) // 128:] > 0).sum()) == 0
+    # end-to-end through the engine on the same operand width
+    run = _build_topk(m, n, k, 4, 1536, "packed", "seeded")
+    si, sd = run(jnp.asarray(q), (r_op,), jnp.asarray(r))
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1)[:, :4],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_within_radius_accepts_sequences():
+    """Review r3 regression: plain list refs worked before the cap
+    validation read ref.shape early."""
+    from tpu_knn.kernels.topk import within_radius, within_radius_complete
+
+    q = [[0.1, 0.2], [0.9, 0.8]]
+    r = [[0.1, 0.2], [0.5, 0.5], [0.95, 0.85]]
+    idx, d2, cnt = within_radius(np.asarray(q, np.float32), r, 0.2, 2)
+    assert int(np.asarray(cnt)[0]) == 1
+    idx2, _, cnt2 = within_radius_complete(np.asarray(q, np.float32), r, 5.0)
+    assert np.all(np.asarray(cnt2) == 3)

@@ -563,50 +563,14 @@ class NNIndex:
         compile-cache bucket) until no row truncates, returning each
         query's TRUE in-radius set; raises if some query's in-radius set
         exceeds the engine ceiling (kernels/topk.py:
-        PASSES_MAX_NEIGHBORS)."""
-        if not float(radius) >= 0.0:
-            raise ValueError(f"radius must be non-negative, got {radius}")
-        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS
+        PASSES_MAX_NEIGHBORS). All machinery is the shared
+        kernels/topk.py:_radius_query loop over this index's prepared
+        top-K pipeline."""
+        from tpu_knn.kernels.topk import _radius_query
 
-        limit = min(self.n_live, PASSES_MAX_NEIGHBORS)
-        r2 = float(radius) ** 2
-
-        def one_shot(cap):
-            eff = min(cap, limit)
-            idx, d2 = self._query_topk(search, eff)
-            idx, d2 = jnp.asarray(idx), jnp.asarray(d2)
-            inside = d2 <= r2
-            idx = jnp.where(inside, idx, -1)
-            d2 = jnp.where(inside, d2, jnp.inf)
-            if eff < cap:
-                pad = ((0, 0), (0, cap - eff))
-                idx = jnp.pad(idx, pad, constant_values=-1)
-                d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
-            return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
-
-        if max_results is not None:
-            if max_results < 1:
-                raise ValueError(
-                    f"max_results must be >= 1, got {max_results}")
-            if min(max_results, self.n_live) > limit:
-                raise ValueError(
-                    f"max_results={max_results} exceeds the radius-query "
-                    f"engine ceiling min(n_live, {PASSES_MAX_NEIGHBORS})")
-            return one_shot(max_results)
-        cap = min(32, limit)
-        while True:
-            idx, d2, count = one_shot(cap)
-            if cap >= self.n_live:
-                return idx, d2, count
-            counts = np.asarray(jax.device_get(count))
-            if int(counts.max(initial=0)) < cap:
-                return idx, d2, count
-            if cap >= limit:
-                raise ValueError(
-                    f"radius {radius} captures >= {limit} neighbors for "
-                    "some query — beyond the engine ceiling; shrink the "
-                    "radius or partition the reference set")
-            cap = min(cap * 2, limit)
+        return _radius_query(
+            lambda eff: self._query_topk(search, eff),
+            self.n_live, radius, max_results)
 
     def _query_topk(self, search, neighbors: int):
         from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, _build_topk

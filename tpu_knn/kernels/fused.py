@@ -633,10 +633,17 @@ REFINE_TOP_T = 8
 #: over the true d2=1 — 1000x outside the +-1e-3 gate). At this cutoff
 #: the absolute error is <= 4096 * 2^-26 = 6e-5, orders below any gap
 #: the gate resolves for in-contract (unit-scale) data, whose scores
-#: stay ~O(k) — so the fast path is taken deterministically there.
+#: stay ~O(k) — so at the packed-3 tier (k <= 16, every benched shape)
+#: the fast path is taken deterministically.
 #: Other precision tiers scale the cutoff down by their error ratio
 #: (select_cutoff) so the certified absolute error budget is tier-
-#: independent. A per-row (T+1)-th-vs-T-th gap certificate was tried
+#: independent. CONSEQUENCE (deliberate, review r3): the scaled
+#: cutoffs for coarser tiers (packed2 at 17 <= k <= 32 -> 8.0; the
+#: bf16x3/x4 ladder -> 8-128) sit below typical in-contract score
+#: magnitudes (~k/3 and up), so those bands run the FULL 128-lane
+#: exact rerank on ~every call — correctness strictly first; the 16x
+#: gather saving applies only where the approximation provably cannot
+#: matter. A per-row (T+1)-th-vs-T-th gap certificate was tried
 #: instead and rejected: benign near-ties trip it on ~every large batch
 #: (any-row semantics), silently degrading ds11 1.90 -> 2.55 ms.
 SELECT_SCORE_CUTOFF = 4096.0

@@ -341,7 +341,7 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
 
 
 def _extract_sweep_kernel(q_ref, r_ref, bs_ref, out1_ref, out2_ref, *,
-                          n: int, tile_m: int, tile_n: int,
+                          n: int, n_pad: int, tile_m: int, tile_n: int,
                           precision: str):
     """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
     engine (VERDICT r2 item 1), third design iteration.
@@ -374,10 +374,14 @@ def _extract_sweep_kernel(q_ref, r_ref, bs_ref, out1_ref, out2_ref, *,
     n_tiles = pl.num_programs(1)
     s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
     chunks = tile_n // 128
-    ragged = (n % tile_n) != 0
+    # Mask whenever the OPERAND is wider than n — not just when n is
+    # ragged against tile_n: a prepadded operand can carry whole
+    # zero-point padding tiles (n % tile_n == 0, n_pad > n) whose
+    # phantom scores would otherwise flood the qualifier counts and
+    # silently trip the cnt>=3 certification into the K-pass fallback
+    # (review r3 finding, empirically confirmed on zero-centered data).
+    ragged = n_pad != n
     if ragged:
-        # Only ragged operands pay the column mask (the fused kernel's
-        # trick); most shapes have n % tile_n == 0 and skip these iotas.
         col = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
                + j * tile_n)
         s = jnp.where(col < n, s, jnp.inf)
@@ -447,8 +451,9 @@ def _build_extract_candidates(m: int, n: int, k: int,
     out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
                             memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        functools.partial(_extract_sweep_kernel, n=n, tile_m=tile_m,
-                          tile_n=tile_n, precision=precision),
+        functools.partial(_extract_sweep_kernel, n=n, n_pad=n_pad,
+                          tile_m=tile_m, tile_n=tile_n,
+                          precision=precision),
         grid=(m_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
@@ -899,6 +904,64 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
                                auto_precision(k, n), method)(search, ref)
 
 
+def _radius_query(topk_fn, n_live: int, radius: float,
+                  max_results, start_cap: int = 32):
+    """Shared fixed-radius machinery (review r3: the single-shot clamp/
+    pad logic and the doubling-escalation loop previously lived twice,
+    here and in NNIndex.query_radius, and had already drifted).
+
+    ``topk_fn(eff_cap) -> (idx (m, eff_cap), d2)`` supplies the exact
+    top-K engine (per-call or prepared-index). ``max_results`` int =
+    single-shot with that cap (clamped to ``n_live``, padded back);
+    None = escalate (doubling; each cap a compile-cache bucket) until
+    every row's TRUE in-radius set is returned. Returns
+    (idx, d2, count); raises past min(n_live, PASSES_MAX_NEIGHBORS).
+    """
+    if not float(radius) >= 0.0:   # also rejects NaN
+        raise ValueError(f"radius must be non-negative, got {radius}")
+    limit = min(n_live, PASSES_MAX_NEIGHBORS)
+    r2 = float(radius) ** 2
+
+    def one_shot(cap):
+        eff = min(cap, n_live)
+        if eff > limit:
+            raise ValueError(
+                f"max_results={cap} exceeds the radius-query engine "
+                f"ceiling min(n, {PASSES_MAX_NEIGHBORS}); shrink the cap "
+                "or partition the reference set")
+        idx, d2 = topk_fn(eff)
+        idx, d2 = jnp.asarray(idx), jnp.asarray(d2)
+        inside = d2 <= r2
+        idx = jnp.where(inside, idx, -1)
+        d2 = jnp.where(inside, d2, jnp.inf)
+        if eff < cap:   # cap clamped to n_live: pad back to the
+            pad = ((0, 0), (0, cap - eff))   # requested static width
+            idx = jnp.pad(idx, pad, constant_values=-1)
+            d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
+        return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
+
+    if max_results is not None:
+        if max_results < 1:
+            raise ValueError(
+                f"max_results must be >= 1, got {max_results}")
+        return one_shot(max_results)
+    cap = min(max(1, start_cap), limit)
+    while True:
+        idx, d2, count = one_shot(cap)
+        if cap >= n_live:   # every point examined: complete
+            return idx, d2, count
+        counts = np.asarray(jax.device_get(count))
+        if int(counts.max(initial=0)) < cap:
+            return idx, d2, count
+        if cap >= limit:
+            raise ValueError(
+                f"radius {radius} captures >= {limit} neighbors for "
+                f"some query — beyond the engine ceiling min(n, "
+                f"{PASSES_MAX_NEIGHBORS}); shrink the radius or "
+                "partition the reference set")
+        cap = min(cap * 2, limit)
+
+
 def within_radius(search, ref, radius: float, max_results: int,
                   method: str = "auto"):
     """Exact fixed-radius neighbors, capped at ``max_results`` per query
@@ -918,27 +981,10 @@ def within_radius(search, ref, radius: float, max_results: int,
     (clamped internally — a generous cap on a small reference set is
     valid); beyond PASSES_MAX_NEIGHBORS on a larger set it raises.
     """
-    if not float(radius) >= 0.0:   # also rejects NaN
-        raise ValueError(f"radius must be non-negative, got {radius}")
-    n = ref.shape[0]
-    if max_results < 1:
-        raise ValueError(f"max_results must be >= 1, got {max_results}")
-    eff = min(max_results, n)
-    if eff > PASSES_MAX_NEIGHBORS:
-        raise ValueError(
-            f"max_results={max_results} exceeds the radius-query engine "
-            f"ceiling min(n, {PASSES_MAX_NEIGHBORS}); shrink the cap or "
-            "partition the reference set")
-    r2 = float(radius) ** 2
-    idx, d2 = topk_knn(search, ref, eff, method)
-    inside = d2 <= r2
-    idx = jnp.where(inside, idx, -1)
-    d2 = jnp.where(inside, d2, jnp.inf)
-    if eff < max_results:   # cap clamped to n: pad back to the requested
-        pad = ((0, 0), (0, max_results - eff))   # static output contract
-        idx = jnp.pad(idx, pad, constant_values=-1)
-        d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
-    return idx, d2, jnp.sum(inside, axis=-1).astype(jnp.int32)
+    ref = jnp.asarray(ref, jnp.float32)
+    return _radius_query(
+        lambda eff: topk_knn(search, ref, eff, method),
+        ref.shape[0], radius, max_results)
 
 
 def within_radius_complete(search, ref, radius: float, *,
@@ -956,20 +1002,7 @@ def within_radius_complete(search, ref, radius: float, *,
     discipline implies (VERDICT r2 item 7): each escalation is a fresh
     scan, amortized by the compile cache across calls.
     """
-    n = ref.shape[0]
-    limit = min(n, PASSES_MAX_NEIGHBORS)
-    cap = min(max(1, start_cap), limit)
-    while True:
-        idx, d2, count = within_radius(search, ref, radius, cap, method)
-        if cap >= n:   # every point examined: complete by construction
-            return idx, d2, count
-        counts = np.asarray(jax.device_get(count))
-        if int(counts.max(initial=0)) < cap:
-            return idx, d2, count
-        if cap >= limit:
-            raise ValueError(
-                f"radius {radius} captures >= {limit} neighbors for some "
-                f"query — beyond the engine ceiling min(n, "
-                f"{PASSES_MAX_NEIGHBORS}); shrink the radius or partition "
-                "the reference set")
-        cap = min(cap * 2, limit)
+    ref = jnp.asarray(ref, jnp.float32)
+    return _radius_query(
+        lambda eff: topk_knn(search, ref, eff, method),
+        ref.shape[0], radius, None, start_cap=start_cap)
