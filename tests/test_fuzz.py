@@ -121,3 +121,50 @@ def test_fuzz_topk_random():
                 if close.sum() == 1:
                     assert idx[qi, pos] == int(np.nonzero(close)[0][0]), (
                         f"{tag} q{qi} rank{pos}")
+
+
+def _check_topk_properties(q, r, idx, d2, kk, tag):
+    idx, d2 = np.asarray(idx), np.asarray(d2)
+    D = ((q[:, None, :].astype(np.float64)
+          - r[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    want_d = np.sort(D, axis=1)[:, :kk]
+    got_d = np.take_along_axis(D, idx, axis=1)
+    np.testing.assert_allclose(got_d, want_d, atol=1e-6, rtol=0,
+                               err_msg=tag)
+    for row_i, row_d in zip(idx, d2):
+        assert len(set(row_i.tolist())) == kk, tag
+        pairs = list(zip(row_d.tolist(), row_i.tolist()))
+        assert pairs == sorted(pairs), tag
+
+
+def test_fuzz_topk_batch_engines():
+    """Batch-regime fuzz (the round-3 moment-extraction engine plus its
+    certified fallback): adversarial recipes at m large enough that
+    auto-routing picks 'seeded', each also forced explicitly, with the
+    same distance/validity/sort properties as the small-m fuzz. The
+    duplicates recipe plants same-cell clusters that must drive the
+    cnt>=3 fallback path."""
+    from tpu_knn.kernels.topk import topk_knn
+
+    rng = np.random.default_rng(123)
+    for _ in range(4):
+        k = int(rng.integers(2, 17))
+        m = int(rng.integers(80, 600))
+        n = int(rng.integers(1500, 6000))
+        kk = int(rng.integers(2, 17))
+        recipe = ["uniform", "quantized", "duplicates",
+                  "near-dup"][int(rng.integers(4))]
+        q, r = make_data(int(rng.integers(1 << 30)), k, m, n, recipe)
+        tag = f"(k={k},m={m},n={n},K={kk},{recipe})"
+        for method in ("auto", "seeded"):
+            idx, d2 = topk_knn(q, r, kk, method=method)
+            _check_topk_properties(q, r, idx, d2, kk, f"{tag} {method}")
+    # dense same-cell duplicate cluster: certified fallback must engage
+    # and stay exact (>= 3 duplicates inside one 128-lane cell).
+    q, r = make_data(7, 4, 96, 2000, "uniform")
+    for c in (10, 30, 50, 70, 90):
+        r[c] = q[5]
+    idx, d2 = topk_knn(q, r, 6, method="seeded")
+    idx = np.asarray(idx)
+    np.testing.assert_array_equal(idx[5, :5], [10, 30, 50, 70, 90])
+    _check_topk_properties(q, r, idx, d2, 6, "dup-cluster")

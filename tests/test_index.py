@@ -428,3 +428,55 @@ def test_auto_adversarial_scales_and_identical_projections():
     q2 = (rng.random((8, 3), np.float32) * 1000.0).astype(np.float32)
     idx2, _ = index2.query(q2)
     np.testing.assert_array_equal(np.asarray(idx2), oracle(q2, ref2))
+
+
+def test_filtered_view_exact_and_original_ids():
+    """filtered_view: exact filtered search over the kept subset with
+    ORIGINAL index positions, through 1-NN, top-K, and radius."""
+    rng = np.random.default_rng(9)
+    ref = rng.random((5000, 4)).astype(np.float32)
+    q = rng.random((12, 4)).astype(np.float32)
+    keep = rng.random(5000) < 0.3
+    keep[:10] = False            # ensure some low ids excluded
+    ix = NNIndex(ref)
+    view = ix.filtered_view(keep)
+    assert view.n_live == int(keep.sum())
+    D = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    Dm = np.where(keep[None, :], D, np.inf)
+    # 1-NN
+    gi, gd = view.query(q)
+    np.testing.assert_array_equal(np.asarray(gi), np.argmin(Dm, axis=1))
+    assert np.all(keep[np.asarray(gi)])
+    # top-K (both sweep and batch routes exercised by bucketing)
+    gk, _ = view.query(q, neighbors=5)
+    np.testing.assert_array_equal(
+        np.asarray(gk), np.argsort(Dm, axis=1, kind="stable")[:, :5])
+    # radius (escalating)
+    ri, rd, rc = view.query_radius(q, 0.3)
+    np.testing.assert_array_equal(np.asarray(rc), (Dm <= 0.09).sum(1))
+    # the parent is untouched
+    pi, _ = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(pi), np.argmin(D, axis=1))
+
+
+def test_filtered_view_validation():
+    rng = np.random.default_rng(10)
+    ref = rng.random((400, 3)).astype(np.float32)
+    ix = NNIndex(ref)
+    with pytest.raises(ValueError, match="keep"):
+        ix.filtered_view(np.ones(399, bool))
+    with pytest.raises(ValueError, match="no points"):
+        ix.filtered_view(np.zeros(400, bool))
+    view = ix.filtered_view(np.arange(400) % 2 == 0)
+    with pytest.raises(ValueError, match="ephemeral"):
+        view.save("/tmp/view.npz")
+    mu = NNIndex(ref, mutable=True)
+    with pytest.raises(ValueError, match="mutable"):
+        mu.filtered_view(np.ones(400, bool))
+    sh = NNIndex(ref, strategy="sharded")
+    with pytest.raises(ValueError, match="fused/auto"):
+        sh.filtered_view(np.ones(400, bool))
+    # neighbors beyond the kept count must raise on the VIEW's count
+    small = ix.filtered_view(np.arange(400) < 3)
+    with pytest.raises(ValueError, match="neighbors"):
+        small.query(rng.random((2, 3)).astype(np.float32), neighbors=4)

@@ -227,8 +227,12 @@ class NNIndex:
     @property
     def n_live(self) -> int:
         """Number of queryable points (static: n; mutable: adds minus
-        removes — slot ids of removed points are never reused)."""
-        return int(self._live[: self._n_slots].sum()) if self.mutable else self.n
+        removes — slot ids of removed points are never reused; filtered
+        views: the kept count)."""
+        if self.mutable:
+            return int(self._live[: self._n_slots].sum())
+        view_live = getattr(self, "_view_live", None)
+        return self.n if view_live is None else view_live
 
     def _init_mutable(self, ref_dev, capacity: int | None):
         n = self.n
@@ -346,6 +350,53 @@ class NNIndex:
         self._init_mutable(ref_live, None)
         return mapping
 
+    def filtered_view(self, keep) -> "NNIndex":
+        """An exact FILTERED-search view: a queryable index restricted
+        to the points where ``keep`` (shape (n,) bool) is True —
+        the vector-database staple (category partitions, tenant
+        isolation, time windows) with no reference analog.
+
+        Build-once philosophy applied to filters: the view shares this
+        index's device-resident AoS array and materializes ONE masked
+        SoA operand (excluded columns become PAD_VALUE sentinels whose
+        scores/distances are +inf in every kernel — the same mechanism
+        mutable removes use), so queries, top-K, and radius queries run
+        the full prepared pipelines at unfiltered speed and report
+        ORIGINAL index positions. A persistent filter costs one device
+        pass; per-query ad-hoc filters should instead post-filter a
+        top-K result. Views are read-only (save/mutation: use the
+        parent)."""
+        if self.strategy not in ("fused", "auto") or len(self.r_ops) != 1:
+            raise ValueError(
+                "filtered_view requires the fused/auto strategy with a "
+                f"plain SoA operand; this index uses {self.strategy!r}")
+        if self.mutable:
+            raise ValueError(
+                "filtered_view on a mutable index is ambiguous under "
+                "later add/remove; use remove() or build a view from a "
+                "compacted snapshot")
+        keep = np.asarray(keep, bool)
+        if keep.shape != (self.n,):
+            raise ValueError(
+                f"keep must be a ({self.n},) boolean mask, "
+                f"got shape {keep.shape}")
+        live = int(keep.sum())
+        if live < 1:
+            raise ValueError("filtered_view would keep no points")
+        view = NNIndex.__new__(NNIndex)
+        view.strategy = "fused"
+        view.mutable = False
+        view.n, view.k = self.n, self.k
+        view.precision = self.precision
+        view.tile_n = self.tile_n
+        view.ref_dev = self.ref_dev            # shared AoS (gathers only
+        r_op = self.r_ops[0]                   # touch reported winners)
+        width = r_op.shape[1]
+        col_keep = jnp.pad(jnp.asarray(keep), (0, width - self.n))
+        view.r_ops = (jnp.where(col_keep[None, :], r_op, PAD_VALUE),)
+        view._view_live = live
+        return view
+
     # ---- checkpoint/resume ------------------------------------------
 
     def save(self, path: str) -> None:
@@ -362,6 +413,9 @@ class NNIndex:
         if self.strategy == "sharded":
             raise ValueError("sharded indexes bind to live devices; "
                              "save the points and rebuild on restore")
+        if getattr(self, "_view_live", None) is not None:
+            raise ValueError("filtered views are ephemeral; save the "
+                             "parent index and the mask")
         meta = dict(strategy=self.strategy, precision=self.precision,
                     mutable=self.mutable)
         if self.strategy == "kdtree":
