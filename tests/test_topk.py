@@ -413,9 +413,10 @@ def test_extraction_masks_whole_padding_tiles():
 
     r_op = jnp.pad(jnp.asarray(r), ((0, 1536 - n), (0, 0))).T
     mom = _build_extract_candidates(m, n, k, 8, 512, "packed", n_ops=1536)
-    s1, _ = mom(jnp.asarray(q), (r_op,), jnp.full((m, 1), 5.0, jnp.float32))
-    cnt = np.asarray(s1).astype(np.int64) & 255
-    assert int((cnt[:, (n + 127) // 128:] > 0).sum()) == 0
+    cnt, _, _ = mom(jnp.asarray(q), (r_op,),
+                    jnp.full((m, 1), 5.0, jnp.float32))
+    cnt = np.asarray(cnt)
+    assert int((cnt[:, -(-n // mom.cell):] > 0).sum()) == 0
     # end-to-end through the engine on the same operand width
     run = _build_topk(m, n, k, 4, 1536, "packed", "seeded")
     si, sd = run(jnp.asarray(q), (r_op,), jnp.asarray(r))

@@ -17,10 +17,12 @@ Three engines, differentially tested against each other:
   sweep (one read; insertion amortized across tile_m query rows).
 - "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 32): the
   round-3 MOMENT-EXTRACTION engine. A 1-NN pre-pass bounds each row's
-  global K-th score; one thresholded scan then emits two tiny f32
-  moments per (row, 128-lane cell) of the qualifying-element set, from
-  which cells with <= 2 qualifiers are solved EXACTLY outside the
-  kernel (perfect-square discriminant); candidates are compacted with
+  global K-th score; one thresholded scan then emits exact integer
+  moments (cnt, sum(l), sum(l^2)) per (row, 128/256-lane cell) of the
+  qualifying-lane set — computed ON THE MXU as one bf16 matmul of the
+  qualifier mask against a block-diagonal weight operand — from which
+  cells with <= 2 qualifiers are solved EXACTLY outside the kernel
+  (perfect-square discriminant); candidates are compacted with
   lax.top_k and sorted by exact (d2, index). Dense adversarial cells
   (>= 3 qualifiers) are certified detectable and lax.cond-fall back to
   "passes". ~2 reference reads at ANY K <= 32; selection is by EXACT
@@ -340,11 +342,52 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
     return candidates
 
 
-def _extract_sweep_kernel(q_ref, r_ref, bs_ref, out1_ref, out2_ref, *,
-                          n: int, n_pad: int, tile_m: int, tile_n: int,
-                          precision: str):
+#: Moment fields emitted per cell, in column order: cnt (w=1), sum(l)
+#: (w=l), sum(l^2) base-256 digits (w = l^2 >> 8 and l^2 & 255). Every
+#: weight value is an integer <= 255, hence EXACTLY representable in
+#: bf16 (8 mantissa bits cover integers to 2^8), so each mask-weight
+#: product on the MXU is exact and the f32 accumulators stay exact
+#: (cell sums < 2^24).
+_EXTRACT_FIELDS = 4
+
+
+def _extract_cell_width(tile_n: int, kk: int) -> int:
+    """Lane width of a moment cell. 256 halves both the moment-matmul
+    width and the compaction input, but QUADRUPLES the chance some cell
+    collects >= 3 qualifiers (the certified-fallback trigger scales as
+    cell^2 per row): at K=32 (~50 qualifiers/row over n/cell cells,
+    1024 rows) a triple is near-certain per batch and every call would
+    pay the 103 ms passes fallback (measured, r4 probe). Use 256-lane
+    cells only for K <= 16, where qualifier counts keep the collision
+    probability negligible (<~1e-4 per batch at ds11 scale)."""
+    return 256 if tile_n % 256 == 0 and kk <= 16 else 128
+
+
+def _moment_weights(tile_n: int, cell: int) -> np.ndarray:
+    """Block-diagonal (tile_n, fields * tile_n // cell) bf16 weight
+    matrix: input lane r belongs to cell r // cell with in-cell id
+    l = r % cell; its nonzero entries are the _EXTRACT_FIELDS weights
+    at columns (r // cell) * fields + field."""
+    l = np.arange(tile_n, dtype=np.int64)
+    c = l // cell
+    li = l % cell
+    fields = np.stack([
+        np.ones_like(li),          # cnt
+        li,                        # sum(l); l <= 255, bf16-exact
+        (li * li) >> 8,            # sum(l^2) high byte
+        (li * li) & 255,           # sum(l^2) low byte
+    ], axis=1).astype(np.float32)
+    w = np.zeros((tile_n, _EXTRACT_FIELDS * (tile_n // cell)), np.float32)
+    for f in range(_EXTRACT_FIELDS):
+        w[l, c * _EXTRACT_FIELDS + f] = fields[:, f]
+    return w.astype(jnp.bfloat16)
+
+
+def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
+                           n: int, n_pad: int, tile_m: int, tile_n: int,
+                           cell: int, precision: str):
     """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
-    engine (VERDICT r2 item 1), third design iteration.
+    engine (VERDICT r2 item 1), fourth design iteration.
 
     Why not a per-lane K-state? The compare-exchange insertion chain
     runs at ~1/5 the VPU's simple-op rate (measured: the unbounded
@@ -352,83 +395,80 @@ def _extract_sweep_kernel(q_ref, r_ref, bs_ref, out1_ref, out2_ref, *,
     query rows sharing each chunk guard, SOME row qualifies in ~25% of
     chunks even under bound seeding — chain variants bottomed out at
     15.2 ms (queue/bits guards, docs/PERF_NOTES.md "Seeded batch
-    sweep"). This kernel keeps NO selection state at all. Per 128-lane
-    chunk it emits two tiny f32 moments of the qualifying-element set
-    {l : score(row, chunk*128+l) <= B_row} (B_row: a provable upper
-    bound on the row's K-th score from a 1-NN pre-pass):
-
-      S1 = cnt + 256 * sum(l)     (fields exact: cnt <= 128, sum(l)
-                                   <= 128*127, so S1 < 2^23)
-      S2 = sum(l^2)               (<= 128*127^2 < 2^22)
+    sweep"). This kernel keeps NO selection state at all: per
+    (row, cell-of-`cell`-lanes) it emits exact integer moments of the
+    qualifying-lane set {l : score(row, base+l) <= B_row} (B_row: a
+    provable upper bound on the row's K-th score from a 1-NN pre-pass):
+    cnt, sum(l), and sum(l^2) as two base-256 digit sums.
 
     cnt <= 2 cells are solved EXACTLY outside the kernel: l1 + l2 =
-    sum, (l1-l2)^2 = 2*S2 - sum^2 is a perfect square whose f32 sqrt
-    is exact, so both lane ids recover as exact integers. cnt >= 3
+    sum, (l1-l2)^2 = 2*sumsq - sum^2 is a perfect square whose f32
+    sqrt is exact, so both lane ids recover as exact integers. cnt >= 3
     (expected ~0.4% of uniform batches; any duplicate-heavy adversarial
     row) is CERTIFIED DETECTABLE and the whole batch falls back to the
     banded passes engine — guard-verify-delegate (core.cu:481-485).
-    The hot loop is score + compare + two where/reduce passes: no
-    insertion chains, no scalar round trips, no VMEM state.
+
+    Design iteration 3 -> 4 (round 3): the moments were first computed
+    on the VPU (mask times two weight rows, two 128-lane sum-reduces —
+    ~17 VPU ops/element, 6.1 ms at ds11 scale vs the plain scan's
+    2.5). This kernel moves the reduction to the MXU: ONE bf16 matmul
+    of the 0/1 qualifier mask against a block-diagonal weight operand
+    (w_ref; weights are integers <= 255, bf16-exact, f32-accumulated,
+    so every moment is still exact) computes all four fields for every
+    cell. With 256-lane cells the weight matrix is (tile_n, tile_n/64)
+    — half a 128-deep score pass of extra MXU work — and the VPU hot
+    loop drops to compare + select.
     """
     j = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
     s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
-    chunks = tile_n // 128
     # Mask whenever the OPERAND is wider than n — not just when n is
     # ragged against tile_n: a prepadded operand can carry whole
     # zero-point padding tiles (n % tile_n == 0, n_pad > n) whose
     # phantom scores would otherwise flood the qualifier counts and
     # silently trip the cnt>=3 certification into the K-pass fallback
     # (review r3 finding, empirically confirmed on zero-centered data).
-    ragged = n_pad != n
-    if ragged:
+    if n_pad != n:
         col = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
                + j * tile_n)
-        s = jnp.where(col < n, s, jnp.inf)
-    # Reshape the f32 SCORES to 3D and build the mask there: Mosaic
-    # shape-casts f32 vectors but rejects i1 ("unsupported shape cast").
-    s3 = s.reshape(tile_m, chunks, 128)
-    m3 = (s3 <= bs_ref[:][:, :, None]).astype(jnp.float32)
-    # Lane weights from ONE tiny (1, 128) iota (a full-tile 3D iota +
-    # cast costs real VPU time; Pallas also forbids captured array
-    # constants): w1 packs the count and lane-sum fields, w2 the
-    # lane-square sum.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
-        jnp.float32).reshape(1, 1, 128)
-    w1 = 1.0 + 256.0 * lane
-    w2 = lane * lane
-    s1 = jnp.sum(m3 * w1, axis=-1)
-    s2 = jnp.sum(m3 * w2, axis=-1)
-    # Output blocks are (tile_m, 128) cell groups shared by g = 128 //
-    # chunks consecutive n-tiles (Mosaic requires 128-divisible output
-    # lanes, and dynamic lane-offset stores must be 128-aligned — a
-    # (tile_m, chunks) block or a pl.ds sub-slice store both fail to
-    # lower). Each invocation zero-pads its chunk sums to the block
-    # width, lane-rolls them into position, and accumulates; the block
-    # flushes to HBM when j // g advances.
-    g = 128 // chunks
-    s1p = pltpu.roll(jnp.pad(s1, ((0, 0), (0, 128 - chunks))),
-                     (j % g) * chunks, 1)
-    s2p = pltpu.roll(jnp.pad(s2, ((0, 0), (0, 128 - chunks))),
-                     (j % g) * chunks, 1)
+        qual = (s <= bs_ref[:]) & (col < n)
+    else:
+        qual = s <= bs_ref[:]
+    mask = jnp.where(qual, 1.0, 0.0).astype(jnp.bfloat16)
+    mo = jax.lax.dot_general(
+        mask, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (tile_m, cols)
+    cols = _EXTRACT_FIELDS * (tile_n // cell)
+    if cols % 128 == 0:
+        # One or more whole 128-lane output groups per tile: direct store.
+        out_ref[:] = mo
+        return
+    # Narrow tiles: (tile_m, 128) output blocks are shared by g = 128 //
+    # cols consecutive n-tiles (Mosaic requires 128-divisible output
+    # lanes, and dynamic lane-offset stores must be 128-aligned). Each
+    # invocation zero-pads its columns to the block width, lane-rolls
+    # them into position, and accumulates; the block flushes to HBM when
+    # j // g advances.
+    g = 128 // cols
+    mop = pltpu.roll(jnp.pad(mo, ((0, 0), (0, 128 - cols))),
+                     (j % g) * cols, 1)
 
     @pl.when(j % g == 0)
     def _():
-        out1_ref[:] = s1p
-        out2_ref[:] = s2p
+        out_ref[:] = mop
 
     @pl.when(j % g != 0)
     def _():
-        out1_ref[:] = out1_ref[:] + s1p
-        out2_ref[:] = out2_ref[:] + s2p
+        out_ref[:] = out_ref[:] + mop
 
 
 @functools.lru_cache(maxsize=None)
 def _build_extract_candidates(m: int, n: int, k: int,
                               tile_m: int, tile_n: int, precision: str,
-                              n_ops: int | None = None):
-    """(search (m,k), SoA ref ops, bound (m,1)) -> (S1, S2) moment
-    arrays of shape (m, n_ops // 128) — see _extract_sweep_kernel."""
+                              n_ops: int | None = None, kk: int = 16):
+    """(search (m,k), SoA ref ops, bound (m,1)) -> (cnt i32, suml f32,
+    sumsq f32) moment arrays of shape (m, n_ops // cell) — see
+    _extract_moment_kernel. The cell lane width is exposed as the
+    returned callable's `.cell`."""
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
     k_pad = round_up(k, 8)
@@ -439,20 +479,27 @@ def _build_extract_candidates(m: int, n: int, k: int,
                          f"n={n}, tile_n={tile_n}")
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
-    chunks = tile_n // 128
-    if chunks > 128 or 128 % chunks != 0:
-        raise ValueError("tile_n must give a power-of-two chunk count "
-                         f"dividing 128, got {chunks}")
-    nc = n_pad // 128
-    #: cells beyond nc (the ragged tail of the last 128-cell output
-    #: block) are never written — callers mask cells >= nc.
-    nc_pad = round_up(nc, 128)
-    g = 128 // chunks
-    out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
-                            memory_space=pltpu.VMEM)
+    cell = _extract_cell_width(tile_n, kk)
+    cols = _EXTRACT_FIELDS * (tile_n // cell)
+    if cols % 128 != 0 and 128 % cols != 0:
+        raise ValueError(f"tile_n={tile_n} gives {cols} moment columns; "
+                         "must divide or be divisible by 128")
+    nc = n_pad // cell
+    w = np.asarray(_moment_weights(tile_n, cell))
+    if cols % 128 == 0:
+        out_w = n_tiles * cols
+        out_spec = pl.BlockSpec((tile_m, cols), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        g = 128 // cols
+        #: columns beyond n_tiles * cols (the ragged tail of the last
+        #: output block) are never written — masked below.
+        out_w = -(-n_tiles // g) * 128
+        out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
+                                memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        functools.partial(_extract_sweep_kernel, n=n, n_pad=n_pad,
-                          tile_m=tile_m, tile_n=tile_n,
+        functools.partial(_extract_moment_kernel, n=n, n_pad=n_pad,
+                          tile_m=tile_m, tile_n=tile_n, cell=cell,
                           precision=precision),
         grid=(m_tiles, n_tiles),
         in_specs=[
@@ -462,14 +509,15 @@ def _build_extract_candidates(m: int, n: int, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((m_pad, nc_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((m_pad, nc_pad), jnp.float32)],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, out_w), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * k_pad,
+            flops=2 * m_pad * n_pad * (k_pad + cols),
             bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
-                            + 2 * m_pad * nc * 4),
+                            + m_pad * nc * _EXTRACT_FIELDS * 4),
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -487,17 +535,16 @@ def _build_extract_candidates(m: int, n: int, k: int,
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
                      constant_values=-jnp.inf)
-        s1, s2 = call(q, r_op, bs)
-        # Mask the never-written ragged tail cells (>= nc) so callers
-        # see zero counts there.
-        if nc_pad != nc:
-            cell = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
-            live = cell < nc
-            s1 = jnp.where(live, s1, 0.0)
-            s2 = jnp.where(live, s2, 0.0)
-        return s1[:m], s2[:m]
+        (mo,) = call(q, r_op, bs, jnp.asarray(w))
+        # Drop the never-written ragged tail columns, split the fields.
+        x = mo[:m, :nc * _EXTRACT_FIELDS].reshape(m, nc, _EXTRACT_FIELDS)
+        cnt = x[:, :, 0].astype(jnp.int32)
+        suml = x[:, :, 1]
+        sumsq = 256.0 * x[:, :, 2] + x[:, :, 3]
+        return cnt, suml, sumsq
 
     moments.prep_soa = prep_soa
+    moments.cell = cell
     return moments
 
 
@@ -704,19 +751,20 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                         jnp.concatenate([o[1] for o in outs]))
 
             return run_chunked
-        # Measured geometry (v5e tile sweep, PERF_NOTES "Round-3"):
-        # 128x8192 is fastest (6.08 ms extraction at ds11 scale; 512x2048
-        # 7.06) and VMEM-safe — wider tile_m with wide tile_n crashes the
-        # Mosaic compile. The kernel needs a power-of-two chunk count
-        # dividing 128; pick the widest 128 * 2^p tile dividing the
-        # operand width (128 always does).
-        tile_m = min(128, round_up(m, 8))
+        # Measured geometry (v5e tile sweeps, PERF_NOTES "Round-3"):
+        # for the MXU-moment kernel 256x8192 is fastest (3.60 ms at ds11
+        # scale; 128x8192 3.80, 128x4096 4.24) and VMEM-safe — 512x8192
+        # crashes the Mosaic compile. The kernel needs a power-of-two
+        # chunk count whose moment columns divide or are divisible by
+        # 128; pick the widest 128 * 2^p tile dividing the operand
+        # width (128 always does).
+        tile_m = min(256, round_up(m, 8))
         t = 128
         while t * 2 <= min(8192, n_ops) and n_ops % (t * 2) == 0:
             t *= 2
         tile_n = t
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
-                                            precision, n_ops=n_ops)
+                                            precision, n_ops=n_ops, kk=kk)
         # Pass 1 (the bound): the banded candidates kernel with a -inf
         # band is exactly the unbanded per-lane top-1 fold, and already
         # speaks the n_ops prepadded-operand protocol.
@@ -729,7 +777,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                                          precision, n_ops=n_ops)
         # The certified fallback: exact for ANY qualifier distribution.
         fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
-        nc = n_ops // 128
+        cell = extract.cell
+        nc = n_ops // cell
         cap = min(nc, 2 * kk + 16)
 
         @jax.jit
@@ -746,10 +795,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
             bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
             bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
-            s1, s2 = extract(search, r_ops, bound)       # (m, nc) f32
-            s1i = s1.astype(jnp.int32)
-            cnt = s1i & 255
-            suml = (s1i >> 8).astype(jnp.float32)
+            cnt, suml, sumsq = extract(search, r_ops, bound)  # (m, nc)
             # Compact the qualifying cells: keys rank them by ascending
             # cell id; top_k returns the first `cap` per row.
             qual = cnt > 0
@@ -760,7 +806,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             valid = vals > 0
             cellc = jnp.where(valid, nc - vals, 0)
             take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
-            c_cnt, c_s, c_q = take(cnt), take(suml), take(s2)
+            c_cnt, c_s, c_q = take(cnt), take(suml), take(sumsq)
             # cnt == 2: l1 + l2 = c_s and (l1 - l2)^2 = 2*c_q - c_s^2, a
             # perfect square (exact f32 sqrt) -> both lane ids exact.
             # cnt == 1: the quadratic degenerates to (0, l); only l2 is
@@ -768,7 +814,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             d = jnp.sqrt(jnp.maximum(2.0 * c_q - c_s * c_s, 0.0))
             l1 = ((c_s - d) * 0.5).astype(jnp.int32)
             l2 = ((c_s + d) * 0.5).astype(jnp.int32)
-            base = cellc * 128
+            base = cellc * cell
             col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
             col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
             cols = jnp.concatenate([col2, col1], axis=1)   # (m, 2*cap)
