@@ -425,6 +425,82 @@ def test_extraction_masks_whole_padding_tiles():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_moment_weights_exact_and_cell_policy():
+    """The MXU moment matmul is exact only because every weight is an
+    integer <= 255 (bf16-exact) — verify the weight matrix bit-survives
+    the bf16 cast and that a float mask @ weights product reproduces
+    integer moments, in both the quadratic (4-field) and cubic
+    (8-field) modes. Cell policy: 256-lane cells whenever the tile
+    allows; K > 16 switches to 8 fields (cubic recovery)."""
+    from tpu_knn.kernels.topk import (_extract_mode, _moment_weights,
+                                      _EXTRACT_FIELDS,
+                                      _EXTRACT_FIELDS_CUBIC)
+
+    for tile_n, cell, nf in ((512, 256, 4), (512, 128, 4), (256, 128, 4),
+                             (512, 256, 8), (512, 128, 8)):
+        w = np.asarray(_moment_weights(tile_n, cell, nf)).astype(np.float64)
+        assert w.max() <= 255 and np.all(w == np.round(w))
+        rng = np.random.default_rng(31)
+        mask = (rng.random((4, tile_n)) < 0.1).astype(np.float64)
+        mo = (mask @ w).reshape(4, tile_n // cell, nf)
+        l = np.arange(tile_n) % cell
+        lc = l.reshape(tile_n // cell, cell)
+        mk3 = mask.reshape(4, tile_n // cell, cell)
+        np.testing.assert_array_equal(mo[:, :, 0], mk3.sum(-1))
+        np.testing.assert_array_equal(mo[:, :, 1], (mk3 * lc).sum(-1))
+        sumsq = 256.0 * mo[:, :, 2] + mo[:, :, 3]
+        np.testing.assert_array_equal(sumsq, (mk3 * lc * lc).sum(-1))
+        if nf == _EXTRACT_FIELDS_CUBIC:
+            sumcu = (65536.0 * mo[:, :, 4] + 256.0 * mo[:, :, 5]
+                     + mo[:, :, 6])
+            np.testing.assert_array_equal(sumcu, (mk3 * lc ** 3).sum(-1))
+            np.testing.assert_array_equal(mo[:, :, 7], 0.0)
+    assert _extract_mode(8192, 8) == (256, _EXTRACT_FIELDS)
+    assert _extract_mode(8192, 16) == (256, _EXTRACT_FIELDS)
+    assert _extract_mode(8192, 32) == (256, _EXTRACT_FIELDS_CUBIC)
+    assert _extract_mode(128, 8) == (128, _EXTRACT_FIELDS)
+    assert _extract_mode(128, 32) == (128, _EXTRACT_FIELDS_CUBIC)
+
+
+def test_cubic_recovery_triples_and_fallback():
+    """K > 16 routes the extraction engine to cubic (8-field) recovery:
+    a cell holding THREE qualifiers must be solved exactly from its
+    power sums (Newton's identities), including when lane 0 of the cell
+    is one of them (the phantom-zero-root case); FOUR qualifiers in one
+    cell must trip the certified fallback and stay exact."""
+    rng = np.random.default_rng(27)
+    kk = 32
+    q = rng.random((20, 6), np.float32)
+    r = rng.random((3000, 6), np.float32) + 2.0  # far background
+    # Triple inside one cell (cols within a 128-lane span share a cell
+    # at EITHER cell width); col 512 is lane 0 at both widths and
+    # exercises the phantom-zero-root tie.
+    for c in (512, 550, 600):
+        r[c] = q[0]
+    # Another triple for a different row, all lanes > 0.
+    for c in (1027, 1060, 1100):
+        r[c] = q[1]
+    si, sd = topk_knn(q, r, kk, method="seeded")
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1)[:, :kk],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si)[0, :3], [512, 550, 600])
+    np.testing.assert_array_equal(np.asarray(si)[1, :3],
+                                  [1027, 1060, 1100])
+    # 4 qualifiers in cell 0 (all cols < 128, one cell at either
+    # width) -> cnt=4 > solvable=3 -> passes fallback.
+    r2 = rng.random((3000, 6), np.float32) + 2.0
+    for c in (3, 30, 60, 90):
+        r2[c] = q[2]
+    si2, sd2 = topk_knn(q, r2, kk, method="seeded")
+    np.testing.assert_allclose(np.asarray(sd2),
+                               np.sort(((q[:, None, :] - r2[None, :, :])
+                                        ** 2).sum(-1), 1)[:, :kk],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(si2)[2, :4],
+                                  [3, 30, 60, 90])
+
+
 def test_within_radius_accepts_sequences():
     """Review r3 regression: plain list refs worked before the cap
     validation read ref.shape early."""

@@ -342,50 +342,71 @@ def _build_smallm_topk_candidates(m: int, n: int, k: int, kk: int,
     return candidates
 
 
-#: Moment fields emitted per cell, in column order: cnt (w=1), sum(l)
-#: (w=l), sum(l^2) base-256 digits (w = l^2 >> 8 and l^2 & 255). Every
-#: weight value is an integer <= 255, hence EXACTLY representable in
-#: bf16 (8 mantissa bits cover integers to 2^8), so each mask-weight
-#: product on the MXU is exact and the f32 accumulators stay exact
-#: (cell sums < 2^24).
+#: Moment fields emitted per cell, in column order. Every weight value
+#: is an integer <= 255, hence EXACTLY representable in bf16 (8
+#: significand bits cover integers to 2^8), so each mask-weight product
+#: on the MXU is exact and the f32 accumulators stay exact (cell sums
+#: < 2^24). The 4-field mode emits cnt, sum(l), sum(l^2) (two base-256
+#: digits) and solves cells of <= 2 qualifiers; the 8-field mode adds
+#: sum(l^3) (three digits, one pad column) and solves <= 3.
 _EXTRACT_FIELDS = 4
+_EXTRACT_FIELDS_CUBIC = 8
 
 
-def _extract_cell_width(tile_n: int, kk: int) -> int:
-    """Lane width of a moment cell. 256 halves both the moment-matmul
-    width and the compaction input, but QUADRUPLES the chance some cell
-    collects >= 3 qualifiers (the certified-fallback trigger scales as
-    cell^2 per row): at K=32 (~50 qualifiers/row over n/cell cells,
-    1024 rows) a triple is near-certain per batch and every call would
-    pay the 103 ms passes fallback (measured, r4 probe). Use 256-lane
-    cells only for K <= 16, where qualifier counts keep the collision
-    probability negligible (<~1e-4 per batch at ds11 scale)."""
-    return 256 if tile_n % 256 == 0 and kk <= 16 else 128
+def _extract_mode(tile_n: int, kk: int) -> tuple[int, int]:
+    """(cell lane width, field count) for the extraction kernel.
+
+    256-lane cells halve both the moment-matmul width and the
+    compaction input, but QUADRUPLE the chance some cell collects more
+    qualifiers than the moments can solve (the certified-fallback
+    trigger scales as cell^2 per row). K <= 16 keeps qualifier counts
+    low enough that 4 fields (quadratic recovery, <= 2 per cell) are
+    safe at 256 lanes (<~1e-4 fallback/batch at ds11 scale). K > 16
+    (~50 qualifiers/row at K=32) would trip the quadratic trigger on
+    essentially every batch (measured: 103 ms passes fallback per
+    probe batch); it emits 8 fields including sum(l^3) and solves
+    <= 3 per cell exactly, pushing the trigger to a 4-qualifier cell
+    (~3e-3/batch)."""
+    if tile_n % 256 == 0:
+        return 256, (_EXTRACT_FIELDS if kk <= 16 else
+                     _EXTRACT_FIELDS_CUBIC)
+    return 128, (_EXTRACT_FIELDS if kk <= 16 else _EXTRACT_FIELDS_CUBIC)
 
 
-def _moment_weights(tile_n: int, cell: int) -> np.ndarray:
-    """Block-diagonal (tile_n, fields * tile_n // cell) bf16 weight
+def _moment_weights(tile_n: int, cell: int,
+                    n_fields: int = _EXTRACT_FIELDS) -> np.ndarray:
+    """Block-diagonal (tile_n, n_fields * tile_n // cell) bf16 weight
     matrix: input lane r belongs to cell r // cell with in-cell id
-    l = r % cell; its nonzero entries are the _EXTRACT_FIELDS weights
-    at columns (r // cell) * fields + field."""
+    l = r % cell; its nonzero entries are the n_fields weights at
+    columns (r // cell) * n_fields + field."""
     l = np.arange(tile_n, dtype=np.int64)
     c = l // cell
     li = l % cell
-    fields = np.stack([
+    cols = [
         np.ones_like(li),          # cnt
         li,                        # sum(l); l <= 255, bf16-exact
         (li * li) >> 8,            # sum(l^2) high byte
         (li * li) & 255,           # sum(l^2) low byte
-    ], axis=1).astype(np.float32)
-    w = np.zeros((tile_n, _EXTRACT_FIELDS * (tile_n // cell)), np.float32)
-    for f in range(_EXTRACT_FIELDS):
-        w[l, c * _EXTRACT_FIELDS + f] = fields[:, f]
+    ]
+    if n_fields == _EXTRACT_FIELDS_CUBIC:
+        cols += [
+            (li ** 3) >> 16,         # sum(l^3) byte 2 (l^3 < 2^24)
+            ((li ** 3) >> 8) & 255,  # sum(l^3) byte 1
+            (li ** 3) & 255,         # sum(l^3) byte 0
+            np.zeros_like(li),       # pad to a power-of-two width
+        ]
+    elif n_fields != _EXTRACT_FIELDS:
+        raise ValueError(f"unsupported field count {n_fields}")
+    fields = np.stack(cols, axis=1).astype(np.float32)
+    w = np.zeros((tile_n, n_fields * (tile_n // cell)), np.float32)
+    for f in range(n_fields):
+        w[l, c * n_fields + f] = fields[:, f]
     return w.astype(jnp.bfloat16)
 
 
 def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
                            n: int, n_pad: int, tile_m: int, tile_n: int,
-                           cell: int, precision: str):
+                           cell: int, n_fields: int, precision: str):
     """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
     engine (VERDICT r2 item 1), fourth design iteration.
 
@@ -437,7 +458,7 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
     mo = jax.lax.dot_general(
         mask, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # (tile_m, cols)
-    cols = _EXTRACT_FIELDS * (tile_n // cell)
+    cols = n_fields * (tile_n // cell)
     if cols % 128 == 0:
         # One or more whole 128-lane output groups per tile: direct store.
         out_ref[:] = mo
@@ -479,13 +500,13 @@ def _build_extract_candidates(m: int, n: int, k: int,
                          f"n={n}, tile_n={tile_n}")
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
-    cell = _extract_cell_width(tile_n, kk)
-    cols = _EXTRACT_FIELDS * (tile_n // cell)
+    cell, n_fields = _extract_mode(tile_n, kk)
+    cols = n_fields * (tile_n // cell)
     if cols % 128 != 0 and 128 % cols != 0:
         raise ValueError(f"tile_n={tile_n} gives {cols} moment columns; "
                          "must divide or be divisible by 128")
     nc = n_pad // cell
-    w = np.asarray(_moment_weights(tile_n, cell))
+    w = np.asarray(_moment_weights(tile_n, cell, n_fields))
     if cols % 128 == 0:
         out_w = n_tiles * cols
         out_spec = pl.BlockSpec((tile_m, cols), lambda i, j: (i, j),
@@ -500,7 +521,7 @@ def _build_extract_candidates(m: int, n: int, k: int,
     call = pl.pallas_call(
         functools.partial(_extract_moment_kernel, n=n, n_pad=n_pad,
                           tile_m=tile_m, tile_n=tile_n, cell=cell,
-                          precision=precision),
+                          n_fields=n_fields, precision=precision),
         grid=(m_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
@@ -517,7 +538,7 @@ def _build_extract_candidates(m: int, n: int, k: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * (k_pad + cols),
             bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
-                            + m_pad * nc * _EXTRACT_FIELDS * 4),
+                            + m_pad * nc * n_fields * 4),
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -537,14 +558,26 @@ def _build_extract_candidates(m: int, n: int, k: int,
                      constant_values=-jnp.inf)
         (mo,) = call(q, r_op, bs, jnp.asarray(w))
         # Drop the never-written ragged tail columns, split the fields.
-        x = mo[:m, :nc * _EXTRACT_FIELDS].reshape(m, nc, _EXTRACT_FIELDS)
+        x = mo[:m, :nc * n_fields].reshape(m, nc, n_fields)
         cnt = x[:, :, 0].astype(jnp.int32)
         suml = x[:, :, 1]
         sumsq = 256.0 * x[:, :, 2] + x[:, :, 3]
-        return cnt, suml, sumsq
+        if n_fields == _EXTRACT_FIELDS:
+            return cnt, suml, sumsq
+        # Combine the sum(l^3) digits in int32: each f32 digit
+        # accumulator is exact (< 2^24), but p3 reaches ~5e7 > 2^24, so
+        # a float combination would round by up to 2 ulp and silently
+        # corrupt Newton's identities.
+        sumcu = (65536 * x[:, :, 4].astype(jnp.int32)
+                 + 256 * x[:, :, 5].astype(jnp.int32)
+                 + x[:, :, 6].astype(jnp.int32))
+        return cnt, suml, sumsq, sumcu
 
     moments.prep_soa = prep_soa
     moments.cell = cell
+    moments.n_fields = n_fields
+    #: qualifiers per cell the recovery can solve exactly
+    moments.solvable = 2 if n_fields == _EXTRACT_FIELDS else 3
     return moments
 
 
@@ -778,6 +811,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # The certified fallback: exact for ANY qualifier distribution.
         fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
         cell = extract.cell
+        solvable = extract.solvable
         nc = n_ops // cell
         cap = min(nc, 2 * kk + 16)
 
@@ -795,7 +829,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
             bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
             bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
-            cnt, suml, sumsq = extract(search, r_ops, bound)  # (m, nc)
+            moms = extract(search, r_ops, bound)           # (m, nc) each
+            cnt = moms[0]
             # Compact the qualifying cells: keys rank them by ascending
             # cell id; top_k returns the first `cap` per row.
             qual = cnt > 0
@@ -806,18 +841,54 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             valid = vals > 0
             cellc = jnp.where(valid, nc - vals, 0)
             take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
-            c_cnt, c_s, c_q = take(cnt), take(suml), take(sumsq)
-            # cnt == 2: l1 + l2 = c_s and (l1 - l2)^2 = 2*c_q - c_s^2, a
-            # perfect square (exact f32 sqrt) -> both lane ids exact.
-            # cnt == 1: the quadratic degenerates to (0, l); only l2 is
-            # real. Lanes -> global columns via the cell base.
-            d = jnp.sqrt(jnp.maximum(2.0 * c_q - c_s * c_s, 0.0))
-            l1 = ((c_s - d) * 0.5).astype(jnp.int32)
-            l2 = ((c_s + d) * 0.5).astype(jnp.int32)
             base = cellc * cell
-            col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
-            col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
-            cols = jnp.concatenate([col2, col1], axis=1)   # (m, 2*cap)
+            if solvable == 2:
+                _c, suml, sumsq = moms
+                c_cnt, c_s, c_q = take(cnt), take(suml), take(sumsq)
+                # cnt == 2: l1 + l2 = c_s and (l1-l2)^2 = 2*c_q - c_s^2,
+                # a perfect square (exact f32 sqrt) -> both lane ids
+                # exact. cnt == 1: the quadratic degenerates to (0, l);
+                # only l2 is real. Lanes -> global columns via the base.
+                d = jnp.sqrt(jnp.maximum(2.0 * c_q - c_s * c_s, 0.0))
+                l1 = ((c_s - d) * 0.5).astype(jnp.int32)
+                l2 = ((c_s + d) * 0.5).astype(jnp.int32)
+                col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
+                col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
+                cols = jnp.concatenate([col2, col1], axis=1)  # (m, 2*cap)
+            else:
+                # Cubic recovery (K > 16): power sums p1..p3 of the <= 3
+                # qualifying lane ids give elementary symmetric functions
+                # via Newton's identities — ALL int32-exact (p1 <= 765,
+                # p1^3 <= 4.5e8 < 2^31; 2e2 = p1^2 - p2 and 6e3 = p1^3 -
+                # 3 p1 p2 + 2 p3 are exact even divisions). The monic
+                # cubic x^3 - e1 x^2 + e2 x - e3 then has roots = the
+                # real lanes PLUS phantom zeros (a lane id 0 contributes
+                # nothing to any power sum, so cnt < 3 behaves as if
+                # padded with zeros). Evaluate it at EVERY lane id by
+                # Horner (bounded by ~1.2e8, int32-exact), collect roots
+                # descending, and keep the first cnt — a genuine lane 0
+                # survives exactly when cnt says it must.
+                _c, p1f, p2f, p3f = moms
+                c_cnt = take(cnt)
+                e1 = take(p1f).astype(jnp.int32)
+                p2 = take(p2f).astype(jnp.int32)
+                p3 = take(p3f).astype(jnp.int32)
+                e2 = (e1 * e1 - p2) // 2
+                e3 = (e1 * e1 * e1 - 3 * e1 * p2 + 2 * p3) // 6
+                x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell), 2)
+                px = (((x - e1[:, :, None]) * x + e2[:, :, None]) * x
+                      - e3[:, :, None])
+                rootk = jnp.where(px == 0, x + 1, 0)     # (m, cap, cell)
+                roots, _r = jax.lax.top_k(rootk, 3)      # descending
+                # Real lanes are distinct roots with key lane+1, so the
+                # first c_cnt descending entries are exactly the real
+                # lanes: a phantom zero ranks key 1, below every real
+                # lane > 0, and coincides with the real entry when lane
+                # 0 itself qualifies.
+                j3 = jax.lax.broadcasted_iota(jnp.int32, roots.shape, 2)
+                ok3 = valid[:, :, None] & (j3 < c_cnt[:, :, None])
+                cols3 = jnp.where(ok3, base[:, :, None] + roots - 1, n)
+                cols = cols3.reshape(m, 3 * cap)
             if cols.shape[1] < kk:
                 # Tiny n: fewer cells than K/2 — widen with sentinels so
                 # the output shape honors the contract; certification
@@ -842,12 +913,13 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             d2_k = d2s[:, :kk]
             idx_k = jnp.where(idx_k < n, idx_k, -1)
             # Certification: every qualifier was recovered iff no cell
-            # overflowed the 2-root solver, no row overflowed the cell
-            # cap, and each row yielded >= K candidates.
-            certified = ((jnp.max(cnt) <= 2)
+            # overflowed the root solver (2 for quadratic, 3 for cubic
+            # recovery), no row overflowed the cell cap, and each row
+            # yielded >= K candidates.
+            certified = ((jnp.max(cnt) <= solvable)
                          & jnp.all(jnp.sum(qual, axis=1) <= cap)
-                         & jnp.all(jnp.sum(jnp.minimum(cnt, 2), axis=1)
-                                   >= kk))
+                         & jnp.all(jnp.sum(jnp.minimum(cnt, solvable),
+                                           axis=1) >= kk))
             return jax.lax.cond(
                 certified,
                 lambda _: (idx_k, d2_k),
