@@ -864,10 +864,16 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 # cubic x^3 - e1 x^2 + e2 x - e3 then has roots = the
                 # real lanes PLUS phantom zeros (a lane id 0 contributes
                 # nothing to any power sum, so cnt < 3 behaves as if
-                # padded with zeros). Evaluate it at EVERY lane id by
-                # Horner (bounded by ~1.2e8, int32-exact), collect roots
-                # descending, and keep the first cnt — a genuine lane 0
-                # survives exactly when cnt says it must.
+                # padded with zeros). Find the LARGEST root with one
+                # Horner evaluation (int32-exact, |px| <= ~1.2e8) and a
+                # max-reduce over the cell's lane ids (a lax.top_k here
+                # measured +3.4 ms at m=1024/cap=80/cell=256 — sort-based
+                # where a max suffices), then DEFLATE: subtracting the
+                # max root from p1/p2 leaves the two smaller lanes to the
+                # quadratic path's exact perfect-square recovery. cnt >= 1
+                # guarantees a real root, and the max root is real (every
+                # phantom zero root ranks below any real lane; it equals
+                # the real entry only when lane 0 alone qualifies).
                 _c, p1f, p2f, p3f = moms
                 c_cnt = take(cnt)
                 e1 = take(p1f).astype(jnp.int32)
@@ -878,17 +884,19 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 x = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cell), 2)
                 px = (((x - e1[:, :, None]) * x + e2[:, :, None]) * x
                       - e3[:, :, None])
-                rootk = jnp.where(px == 0, x + 1, 0)     # (m, cap, cell)
-                roots, _r = jax.lax.top_k(rootk, 3)      # descending
-                # Real lanes are distinct roots with key lane+1, so the
-                # first c_cnt descending entries are exactly the real
-                # lanes: a phantom zero ranks key 1, below every real
-                # lane > 0, and coincides with the real entry when lane
-                # 0 itself qualifies.
-                j3 = jax.lax.broadcasted_iota(jnp.int32, roots.shape, 2)
-                ok3 = valid[:, :, None] & (j3 < c_cnt[:, :, None])
-                cols3 = jnp.where(ok3, base[:, :, None] + roots - 1, n)
-                cols = cols3.reshape(m, 3 * cap)
+                r3 = jnp.max(jnp.where(px == 0, x, -1), axis=2)  # (m, cap)
+                r3 = jnp.maximum(r3, 0)        # cnt == 0 cells: inert
+                p1d = e1 - r3                  # deflated power sums:
+                p2d = p2 - r3 * r3             # the two remaining lanes
+                disc = jnp.maximum(2 * p2d - p1d * p1d, 0)
+                d = jnp.sqrt(disc.astype(jnp.float32))  # perfect square
+                p1f_ = p1d.astype(jnp.float32)
+                l2 = ((p1f_ + d) * 0.5).astype(jnp.int32)
+                l1 = ((p1f_ - d) * 0.5).astype(jnp.int32)
+                colA = jnp.where(valid & (c_cnt >= 1), base + r3, n)
+                colB = jnp.where(valid & (c_cnt >= 2), base + l2, n)
+                colC = jnp.where(valid & (c_cnt >= 3), base + l1, n)
+                cols = jnp.concatenate([colA, colB, colC], axis=1)
             if cols.shape[1] < kk:
                 # Tiny n: fewer cells than K/2 — widen with sentinels so
                 # the output shape honors the contract; certification
