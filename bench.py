@@ -148,13 +148,16 @@ def main():
 
         # Per-call pipeline, amplified: q AND r are perturbed by i*1e-9.
         # PROTOCOL NOTE (r3, PERF_NOTES "Per-call prep transpose"): this
-        # is an UPPER bound — at k=16 the r+eps copy does not fuse into
-        # the transpose inside the full-pipeline program (~one extra
-        # reference copy); a carried-operand protocol was tried and
-        # UNDER-measures instead (XLA pushes the one-element update
-        # through the transpose and hoists the relayout). The honest
-        # pipeline floor is the DERIVED prep_ms + prepared-scan sum,
-        # annotated on the row after the prepared sections run.
+        # is an UPPER bound — where the pipeline still preps (m > 4: the
+        # MXU path's pad+T) the r+eps copy does not fuse into the
+        # transpose (~one extra reference copy); a carried-operand
+        # protocol was tried and UNDER-measures instead (XLA pushes the
+        # one-element update through the transpose and hoists the
+        # relayout). For those rows the honest floor is the DERIVED
+        # prep_ms + prepared-scan sum, annotated after the prepared
+        # sections run. m <= 4 rows have NO prep since r4's zero-prep
+        # AoS scan (smallm._build_aos_scan): the eps-add fuses into the
+        # scan's single read pass and the row measures the true cost.
         def percall_step(i, c, q, r):
             eps = i.astype(jnp.float32) * 1e-9
             idx_a, d2_a = fused_knn(q + eps, r + eps)
@@ -506,7 +509,10 @@ def main():
                 ("topk_batch_1024x2^20_k16_K8_seeded", 1024, 1 << 20, 16, 8,
                  "seeded", "passes"),
                 ("topk_batch_1024x2^20_k16_K16_seeded", 1024, 1 << 20, 16,
-                 16, "seeded", "passes")):
+                 16, "seeded", "passes"),
+                # K > 16: the cubic (8-field) moment recovery
+                ("topk_batch_1024x2^20_k16_K32_seeded", 1024, 1 << 20, 16,
+                 32, "seeded", "passes")):
             r_t = jax.random.uniform(jax.random.fold_in(kq, 2 + k_t * n_t % 97),
                                      (n_t, k_t), jnp.float32)
             q_t = jax.random.uniform(jax.random.fold_in(kq, m_t), (m_t, k_t),
@@ -555,13 +561,15 @@ def main():
                   file=sys.stderr, flush=True)
 
     # Derived per-call floor (PERF_NOTES "Per-call prep transpose"):
-    # prep relayout + prepared scan. The amplified per-call row is an
-    # upper bound (its r-perturbation copy does not always fuse); a
-    # carried-operand protocol under-measures (XLA hoists the relayout
-    # through the one-element update) — the sum of the two honestly
-    # measured halves is the pipeline's own cost.
+    # prep relayout + prepared scan, for rows whose pipeline still preps
+    # (m > 4 MXU path). The amplified per-call row is an upper bound
+    # (its r-perturbation copy does not always fuse); a carried-operand
+    # protocol under-measures (XLA hoists the relayout through the
+    # one-element update) — the sum of the two honestly measured halves
+    # is the pipeline's own cost. m <= 4 rows (ds8/ds9) are zero-prep
+    # since r4's AoS scan and carry no derived floor.
     by_name = {row["name"]: row for row in details["rows"]}
-    for base in ("ds8", "ds9", "ds11"):
+    for base in ("ds11",):
         pc = by_name.get(base)
         prepared = by_name.get(f"{base}_prepared_index")
         if pc and prepared and "prep_ms" in pc:

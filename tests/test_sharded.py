@@ -157,7 +157,7 @@ def oracle_topk(q, r, kk):
         [np.lexsort((np.arange(len(row)), row))[:kk] for row in d2])
 
 
-@pytest.mark.parametrize("method", ["sweep", "passes"])
+@pytest.mark.parametrize("method", ["sweep", "passes", "seeded"])
 def test_sharded_topk_matches_oracle(method):
     from tpu_knn.distributed.sharded import sharded_topk_knn
 
@@ -171,6 +171,31 @@ def test_sharded_topk_matches_oracle(method):
     np.testing.assert_allclose(
         np.asarray(d2),
         np.take_along_axis(D, oracle_topk(q, r, 6), 1), rtol=1e-6)
+
+
+def test_sharded_topk_batch_regime_routes_seeded_per_shard():
+    """auto at batch scale must land on the extraction engine PER SHARD
+    (m_local * K > sweep budget) and stay exact across shard-local
+    moment recovery + the cross-shard merge, including duplicates that
+    straddle shards and a shard-local certified fallback (4 duplicates
+    in one 128-lane cell of shard 0)."""
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+    from tpu_knn.kernels.topk import _auto_method
+
+    rng = np.random.default_rng(17)
+    m, n, kk = 80, 4096, 8
+    assert _auto_method(m, kk) == "seeded"  # the per-shard route (dp=1)
+    q = rng.random((m, 5), np.float32)
+    r = rng.random((n, 5), np.float32) + 2.0
+    r[100] = r[600] = q[3]          # duplicate pair within shard 0
+    r[512 + 7] = r[3 * 512 + 7] = q[5]   # straddles shards 1 and 3
+    for c in (5, 17, 29, 41):       # one cell, 4 qualifiers -> fallback
+        r[c] = q[11]
+    idx, d2 = sharded_topk_knn(q, r, kk, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx), oracle_topk(q, r, kk))
+    assert list(np.asarray(idx)[3, :2]) == [100, 600]
+    assert list(np.asarray(idx)[5, :2]) == [512 + 7, 3 * 512 + 7]
+    assert list(np.asarray(idx)[11, :4]) == [5, 17, 29, 41]
 
 
 def test_sharded_topk_duplicates_across_shards():

@@ -50,19 +50,27 @@ def test_winner_at_ragged_tail():
 
 
 def test_fused_knn_routes_small_batches():
+    from tpu_knn.kernels.smallm import _build_aos_scan
+
     rng = np.random.default_rng(9)
     q = rng.random((2, 7), np.float32)
     r = rng.random((3000, 7), np.float32)
-    misses0 = _build_smallm.cache_info().misses
+    misses0 = _build_aos_scan.cache_info().misses
     idx, _ = fused_knn(q, r)
-    assert _build_smallm.cache_info().misses == misses0 + 1
+    assert _build_aos_scan.cache_info().misses == misses0 + 1
     np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, r))
 
     # Explicit precision signals measurement intent: MXU path, no route.
-    misses1 = _build_smallm.cache_info().misses
+    misses1 = _build_aos_scan.cache_info().misses
     idx2, _ = fused_knn(q, r, precision="bf16x3")
-    assert _build_smallm.cache_info().misses == misses1
+    assert _build_aos_scan.cache_info().misses == misses1
     np.testing.assert_array_equal(np.asarray(idx2), oracle_knn(q, r))
+
+    # Explicit tile_n keeps the Pallas SoA pipeline (measurement intent).
+    misses2 = _build_smallm.cache_info().misses
+    idx3, _ = smallm_knn(q, r, tile_n=512)
+    assert _build_smallm.cache_info().misses == misses2 + 1
+    np.testing.assert_array_equal(np.asarray(idx3), oracle_knn(q, r))
 
 
 def test_applicability_predicate():
@@ -70,6 +78,34 @@ def test_applicability_predicate():
     assert smallm_applicable(SMALLM_MAX_M, SMALLM_MAX_K, 10)
     assert not smallm_applicable(SMALLM_MAX_M + 1, 3, 10)
     assert not smallm_applicable(1, SMALLM_MAX_K + 1, 10)
+
+
+def test_nnindex_k_below_8_routes_prepared_aos_scan():
+    """At k < 8 the prepared small-m pipeline must route to the AoS scan
+    over the index's resident ref array (the SoA operand's sublane pad
+    reads 8/k times the bytes; measured 0.432 vs 0.773 ms at (2^24,3)).
+    Mutable-index +inf PAD/tombstone rows must self-exclude, and the
+    first-minimum argmin must keep the lowest-index tie rule."""
+    from tpu_knn.kernels.smallm import _build_aos_scan
+
+    rng = np.random.default_rng(11)
+    ref = rng.random((600, 3), np.float32)
+    ref[77] = ref[401]  # planted duplicate: lowest index must win
+    index = NNIndex(ref, strategy="fused", mutable=True)
+    misses0 = _build_aos_scan.cache_info().misses
+    q = np.concatenate([ref[401:402], rng.random((1, 3), np.float32)])
+    idx, d2 = index.query(q)
+    assert _build_aos_scan.cache_info().misses > misses0
+    assert int(idx[0]) == 77 and float(d2[0]) == 0.0
+    np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, ref))
+    # Remove the duplicate pair; the tombstoned rows must self-exclude.
+    index.remove([77, 401])
+    idx2, d2_2 = index.query(ref[401:402])
+    live = np.asarray(
+        [i for i in range(600) if i not in (77, 401)], np.int64)
+    D = ((ref[401] - ref[live]) ** 2).sum(-1)
+    assert int(idx2[0]) == live[np.argmin(D)]
+    assert float(d2_2[0]) > 0.0
 
 
 def test_nnindex_small_batch_uses_smallm_operandwidth_adapted():

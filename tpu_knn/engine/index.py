@@ -52,9 +52,26 @@ from tpu_knn.utils.shapes import round_up
 def _build_smallm_prepared(m: int, n: int, k: int):
     """Small-batch prepared pipeline: the diff-form VPU kernel
     (kernels/smallm.py) against the SAME SoA operand as the fused path —
-    the m<=4 regime where the MXU's packed-dot prep work is all overhead."""
+    the m<=4 regime where the MXU's packed-dot prep work is all overhead.
+
+    At k < 8 the SoA operand's sublane padding reads round_up(k,8)/k
+    times the necessary bytes, so the AoS scan over the index's resident
+    ref array wins even prepared (measured at (2^24,3): 0.432 vs
+    0.773 ms — smallm._build_aos_scan); PAD/tombstone +inf rows
+    self-exclude exactly as in the dense path."""
+    from tpu_knn.kernels.smallm import (
+        AOS_SCAN_MAX_KPAD_WASTE_K, _build_aos_scan, _build_smallm_candidates,
+    )
+
+    if k < AOS_SCAN_MAX_KPAD_WASTE_K:
+        scan = _build_aos_scan(m, n, k)
+
+        @jax.jit
+        def run_aos(search, r_ops, ref_aos):
+            return scan(search, ref_aos)
+
+        return run_aos
     from tpu_knn.kernels.fused import _refine, select_cutoff
-    from tpu_knn.kernels.smallm import _build_smallm_candidates
 
     candidates = _build_smallm_candidates(m, n, k)
     cutoff = select_cutoff("exact", k)  # diff-form scores

@@ -740,11 +740,14 @@ def fused_knn(search, ref, *, soa: bool = True,
     m, k = search.shape
     n = ref.shape[0]
     if tile_m is None and tile_n is None and soa and precision is None:
-        # Tiny batches route to the diff-form VPU kernel (smallm.py): at
-        # m<=4 the packed dot's per-element split/concat work dominates
-        # while the MXU runs at <=8/128-row utilization, and diff-form
-        # scores are exact f32 outright. Explicit tile/precision arguments
-        # signal measurement intent and keep the MXU path.
+        # Tiny batches route to the zero-prep diff-form AoS scan
+        # (smallm.py): at m<=4 the packed dot's per-element split/concat
+        # work dominates while the MXU runs at <=8/128-row utilization,
+        # diff-form scores are exact f32 outright, and XLA fuses the
+        # whole reduction into one roofline pass over the caller's AoS
+        # array — no SoA relayout (PERF_NOTES "Per-call prep
+        # transpose"). Explicit tile/precision arguments signal
+        # measurement intent and keep the MXU path.
         from tpu_knn.kernels.smallm import smallm_applicable, smallm_knn
 
         if smallm_applicable(m, k, n):

@@ -29,6 +29,17 @@ Applicability: 1 <= m <= 4 and k <= 32 — exactly the regime where the
 packed single-pass dot also applies, so the prepared operand is always
 the plain f32 SoA array. fused_knn routes here automatically; explicit
 tile/precision overrides keep the MXU path (measurement intent).
+
+Round 3 split the regime in two (measurements in _build_aos_scan):
+
+- PER-CALL (caller hands an (n, k) AoS array): the zero-prep XLA
+  diff-form scan — XLA fuses the whole reduction into one roofline pass
+  over the AoS array, so the former ~3.5 ms pad+transpose prep vanishes
+  outright (ds9-shaped per-call: 8.5 -> ~1.6 ms).
+- PREPARED (NNIndex, operand built once): this Pallas kernel for
+  k >= 8; at k < 8 even the prepared path routes to the AoS scan over
+  the index's resident ref array — the SoA operand's sublane padding
+  reads round_up(k,8)/k times the necessary bytes.
 """
 
 from __future__ import annotations
@@ -187,7 +198,8 @@ def _build_smallm_candidates(m: int, n: int, k: int,
 @functools.lru_cache(maxsize=None)
 def _build_smallm(m: int, n: int, k: int, tile_n: int | None = None):
     """Per-call pipeline: SoA layout + candidates + exact refinement in
-    one jit (single device dispatch)."""
+    one jit (single device dispatch). Kept for measurement intent
+    (explicit tile_n) — the shipping per-call path is _build_aos_scan."""
     from tpu_knn.kernels.fused import _refine, select_cutoff
 
     cand = _build_smallm_candidates(m, n, k, tile_n)
@@ -201,17 +213,81 @@ def _build_smallm(m: int, n: int, k: int, tile_n: int | None = None):
     return run
 
 
+#: k below which the AoS scan also beats the PREPARED Pallas kernel:
+#: the SoA operand pads k to a sublane multiple of 8, so at k < 8 the
+#: prepared scan reads round_up(k,8)/k times the bytes of the raw AoS
+#: array (measured at (2^24, 3): prepared 0.773 ms vs AoS 0.432).
+AOS_SCAN_MAX_KPAD_WASTE_K = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _build_aos_scan(m: int, n: int, k: int):
+    """Zero-prep per-call small-m scan: plain XLA diff-form over the
+    caller's (n, k) AoS array.
+
+    The round-2 per-call path paid a ~3.5 ms pad+transpose relayout at
+    (2^24, 16) before a 1.5 ms scan (docs/PERF_NOTES.md "Per-call prep
+    transpose"; the reference pays the same transform as a device kernel,
+    core.cu:315-330). Measured (scripts/r4_probe_percall.py, v5e): XLA
+    fuses (ref - q)^2 -> sum -> min/argmin into a single pass over the
+    narrow-minor-dim array at HBM roofline — m=1 k=16 n=2^24: 1.574 ms
+    (the prepared Pallas scan: 1.538) and k=3: 0.432 ms (BEATS the
+    prepared scan's 0.773: the SoA operand pads k 3->8 and reads 2.7x
+    the bytes). No Pallas, no relayout, no padding.
+
+    Exactness/ties: diff-form scores are exact f32 (oracle
+    conditioning); jnp.argmin returns the FIRST minimum = lowest
+    reference index (v0's tie rule, core.cu:50-54). +inf rows (mutable
+    index PAD/tombstone slots) self-exclude as in the dense path.
+    """
+
+    @jax.jit
+    def run(search, ref):
+        if m == 1:
+            # 1-D graph, exactly the probe's shape: a (1, n) score row
+            # re-pays ~0.5 ms over the 1-D (n,) form (measured — the 2-D
+            # row gets the (8,128)-tiled layout, 8x the score bytes).
+            d = ref - search[0]
+            s = jnp.sum(d * d, axis=-1)               # (n,)
+            j = jnp.argmin(s)
+            return j[None].astype(jnp.int32), s[j][None]
+        d = ref[None, :, :] - search[:, None, :]      # fused, never
+        s = jnp.sum(d * d, axis=-1)                   # materialized (m,n,k)
+        idx = jnp.argmin(s, axis=1).astype(jnp.int32)
+        # Read the winners' d2 out of the score array rather than
+        # returning jnp.min(s): a SECOND reduction over the same fused
+        # producer makes XLA run the whole scan twice (measured: k=3
+        # 0.96 ms vs 0.43 single-pass). The read must be per-row
+        # DYNAMIC-SLICES (m <= 4, unrolled): a take_along_axis gather
+        # here forces s into a separate fusion and re-pays the whole
+        # scan (+0.52 ms, measured), while dynamic slices leave argmin
+        # + s in one multi-output fusion. Gathering from `ref` instead
+        # would skip s entirely but crashes the AOT compile helper at
+        # m=1.
+        d2 = jnp.stack([s[r, idx[r]] for r in range(m)])
+        return idx, d2
+
+    return run
+
+
 def smallm_knn(search, ref, *, tile_n: int | None = None):
     """Small-batch exact 1-NN: (m<=4, k<=32) queries against (n, k) refs.
 
     Returns (indices (m,) i32, exact squared distances (m,) f32); same
     contract and tie semantics as fused_knn (lowest index among exact
     ties), with candidate selection already at diff-form conditioning.
+    The default path is the zero-prep AoS scan (_build_aos_scan); an
+    explicit tile_n keeps the Pallas SoA pipeline (measurement intent).
     """
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
     n = ref.shape[0]
+    if tile_n is None:
+        if not (1 <= m <= SMALLM_MAX_M):
+            raise ValueError(
+                f"smallm serves 1 <= m <= {SMALLM_MAX_M}, got {m}")
+        return _build_aos_scan(m, n, k)(search, ref)
     run = _build_smallm(m, n, k, tile_n)
     return run(search, ref)
 
