@@ -488,6 +488,13 @@ def main():
             """(run(q, r_op, r_t), r_op) — operands passed as jit ARGS,
             not closure constants (see _amplified_runner's 413 note)."""
             prec = auto_precision(k_t, n_t)
+            if method == "aos":
+                # Zero-prep per-call engine: no SoA operand at all.
+                from tpu_knn.kernels.topk import _build_topk_percall
+
+                run = _build_topk_percall(m_t, n_t, k_t, kk, prec, "aos")
+                return (lambda qq, r_op, r_t: run(qq, r_t)), jnp.zeros(
+                    (1, 1), jnp.float32)
             tile_n = (_sweep_tiles(k_t, m_t, n_t, kk, prec)[1]
                       if method == "sweep"
                       else pick_tiles(k_t, m_t, n_t)[1])
@@ -512,7 +519,12 @@ def main():
                  16, "seeded", "passes"),
                 # K > 16: the cubic (8-field) moment recovery
                 ("topk_batch_1024x2^20_k16_K32_seeded", 1024, 1 << 20, 16,
-                 32, "seeded", "passes")):
+                 32, "seeded", "passes"),
+                # per-call m=1: the zero-prep AoS cell engine (no SoA
+                # operand; the serving row above amortizes a prepared
+                # one — this row is the cold-operand cost)
+                ("topk_percall_1x2^24_k16_K16_aos", 1, 1 << 24, 16, 16,
+                 "aos", "sweep")):
             r_t = jax.random.uniform(jax.random.fold_in(kq, 2 + k_t * n_t % 97),
                                      (n_t, k_t), jnp.float32)
             q_t = jax.random.uniform(jax.random.fold_in(kq, m_t), (m_t, k_t),
@@ -521,11 +533,11 @@ def main():
             twin, tw_op = topk_runner(m_t, n_t, k_t, kk, other, r_t)
             ti, td = mine(q_t, my_op, r_t)
             oi, od = twin(q_t, tw_op, r_t)
-            if "seeded" in (method, other):
-                # The extraction engine selects by EXACT d2 over a
-                # certified superset; the passes engine by approx score
-                # — index disagreements are errors only when the exact
-                # distances differ beyond f32 reduction noise.
+            if "seeded" in (method, other) or "aos" in (method, other):
+                # The extraction/aos engines select by EXACT d2 over a
+                # certified superset; score-selected engines by approx
+                # score — index disagreements are errors only when the
+                # exact distances differ beyond f32 reduction noise.
                 errs_t = int(jax.device_get(jnp.sum(
                     (ti != oi) & (jnp.abs(td - od)
                                   > 1e-5 * jnp.maximum(td, 1.0)))))

@@ -81,11 +81,12 @@ def test_applicability_predicate():
 
 
 def test_nnindex_k_below_8_routes_prepared_aos_scan():
-    """At k < 8 the prepared small-m pipeline must route to the AoS scan
-    over the index's resident ref array (the SoA operand's sublane pad
-    reads 8/k times the bytes; measured 0.432 vs 0.773 ms at (2^24,3)).
-    Mutable-index +inf PAD/tombstone rows must self-exclude, and the
-    first-minimum argmin must keep the lowest-index tie rule."""
+    """At k < 8, m == 1 the prepared small-m pipeline must route to the
+    AoS scan over the index's resident ref array (the SoA operand's
+    sublane pad reads 8/k times the bytes; measured 0.452 vs 0.773 ms
+    at (2^24,3); the scan is linear in m so m >= 2 keeps the Pallas
+    kernel). Mutable-index +inf PAD/tombstone rows must self-exclude,
+    and the first-minimum argmin must keep the lowest-index tie rule."""
     from tpu_knn.kernels.smallm import _build_aos_scan
 
     rng = np.random.default_rng(11)
@@ -93,11 +94,17 @@ def test_nnindex_k_below_8_routes_prepared_aos_scan():
     ref[77] = ref[401]  # planted duplicate: lowest index must win
     index = NNIndex(ref, strategy="fused", mutable=True)
     misses0 = _build_aos_scan.cache_info().misses
-    q = np.concatenate([ref[401:402], rng.random((1, 3), np.float32)])
+    q = ref[401:402].copy()
     idx, d2 = index.query(q)
     assert _build_aos_scan.cache_info().misses > misses0
     assert int(idx[0]) == 77 and float(d2[0]) == 0.0
     np.testing.assert_array_equal(np.asarray(idx), oracle_knn(q, ref))
+    # m=2 keeps the Pallas prepared kernel (one scan serves all rows).
+    misses1 = _build_aos_scan.cache_info().misses
+    q2 = np.concatenate([q, rng.random((1, 3), np.float32)])
+    idx2m, _ = index.query(q2)
+    np.testing.assert_array_equal(np.asarray(idx2m), oracle_knn(q2, ref))
+    assert _build_aos_scan.cache_info().misses == misses1
     # Remove the duplicate pair; the tombstoned rows must self-exclude.
     index.remove([77, 401])
     idx2, d2_2 = index.query(ref[401:402])

@@ -501,6 +501,78 @@ def test_cubic_recovery_triples_and_fallback():
                                   [3, 30, 60, 90])
 
 
+def test_aos_percall_topk_differential_and_fallback():
+    """The zero-prep per-call engine (m <= 4): differential vs passes,
+    lowest-index ties, and the certified fallback when one query's
+    qualifier count exceeds cap = 4K + 64 (planted duplicate flood)."""
+    rng = np.random.default_rng(33)
+    q = rng.random((3, 6), np.float32)
+    r = rng.random((5000, 6), np.float32)
+    r[303] = r[999]          # duplicate pair
+    r[42] = q[1]             # d=0 hit
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    for kk in (1, 4, 16):
+        ai, ad = topk_knn(q, r, kk, method="aos")
+        pi, pd = topk_knn(q, r, kk, method="passes")
+        np.testing.assert_allclose(np.asarray(ad), np.sort(D, 1)[:, :kk],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(pi))
+    assert int(np.asarray(topk_knn(q, r, 1, method="aos")[0])[1, 0]) == 42
+    # auto routes per-call m<=4 to aos
+    from tpu_knn.kernels.topk import _build_aos_topk
+    misses0 = _build_aos_topk.cache_info().misses
+    topk_knn(q, r, 3)
+    assert _build_aos_topk.cache_info().misses == misses0 + 1
+    # duplicate flood INSIDE one 4096-cell: all qualifiers gathered with
+    # the cell — solved exactly, no fallback needed.
+    r2 = rng.random((5000, 6), np.float32) + 2.0
+    r2[:80] = q[0]
+    fi, fd = topk_knn(q, r2, 2, method="aos")
+    np.testing.assert_array_equal(np.asarray(fi)[0], [0, 1])
+    assert np.all(np.asarray(fd)[0] == 0.0)
+    # duplicates spread across > cap_c = kk+16 DISTINCT cells -> the
+    # certified fallback (stable lax.top_k), still exact lowest-index.
+    r4 = rng.random((90_000, 6), np.float32) + 2.0
+    spread = [i * 4096 for i in range(20)]
+    for c in spread:
+        r4[c] = q[0]
+    fi4, fd4 = topk_knn(q, r4, 2, method="aos")
+    np.testing.assert_array_equal(np.asarray(fi4)[0], spread[:2])
+    assert np.all(np.asarray(fd4)[0] == 0.0)
+    # ragged n (not a lane multiple) + tiny n edge
+    q3 = rng.random((2, 3), np.float32)
+    r3 = rng.random((203, 3), np.float32)
+    ai3, _ = topk_knn(q3, r3, 8, method="aos")
+    np.testing.assert_array_equal(np.asarray(ai3), oracle_topk(q3, r3, 8))
+
+
+def test_nnindex_topk_m1_routes_aos():
+    """Prepared top-K at m == 1 routes the zero-prep AoS cell engine
+    over the resident ref (beats the prepared bounded sweep at every
+    measured k; the engine is linear in m so m >= 2 keeps the one-scan
+    prepared engines); tombstones self-exclude after removal."""
+    from tpu_knn.engine.index import NNIndex
+    from tpu_knn.kernels.topk import _build_aos_topk
+
+    rng = np.random.default_rng(41)
+    r = rng.random((3000, 3), np.float32)
+    index = NNIndex(r, mutable=True)
+    q = rng.random((1, 3), np.float32)
+    misses0 = _build_aos_topk.cache_info().misses
+    gi, gd = index.query(q, neighbors=5)
+    assert _build_aos_topk.cache_info().misses > misses0
+    np.testing.assert_array_equal(np.asarray(gi), oracle_topk(q, r, 5))
+    index.remove([int(gi[0, 0]), int(gi[0, 1])])
+    gi2, gd2 = index.query(q, neighbors=5)
+    assert int(gi2[0, 0]) == int(gi[0, 2])
+    # m >= 2 buckets keep the prepared engine path
+    misses1 = _build_aos_topk.cache_info().misses
+    q8 = rng.random((8, 3), np.float32)
+    gi8, _ = index.query(q8, neighbors=5)
+    assert gi8.shape == (8, 5)
+    assert _build_aos_topk.cache_info().misses == misses1
+
+
 def test_within_radius_accepts_sequences():
     """Review r3 regression: plain list refs worked before the cap
     validation read ref.shape early."""

@@ -54,16 +54,18 @@ def _build_smallm_prepared(m: int, n: int, k: int):
     (kernels/smallm.py) against the SAME SoA operand as the fused path —
     the m<=4 regime where the MXU's packed-dot prep work is all overhead.
 
-    At k < 8 the SoA operand's sublane padding reads round_up(k,8)/k
-    times the necessary bytes, so the AoS scan over the index's resident
-    ref array wins even prepared (measured at (2^24,3): 0.432 vs
-    0.773 ms — smallm._build_aos_scan); PAD/tombstone +inf rows
+    At k < 8 and m == 1 the SoA operand's sublane padding reads
+    round_up(k,8)/k times the necessary bytes, so the AoS scan over the
+    index's resident ref array wins even prepared (measured at
+    (2^24,3): 0.452 vs 0.773 ms — smallm._build_aos_scan). The AoS scan
+    is linear in m (per-row roofline reads), so m >= 2 keeps the Pallas
+    kernel's one-scan-for-all-rows shape. PAD/tombstone +inf rows
     self-exclude exactly as in the dense path."""
     from tpu_knn.kernels.smallm import (
         AOS_SCAN_MAX_KPAD_WASTE_K, _build_aos_scan, _build_smallm_candidates,
     )
 
-    if k < AOS_SCAN_MAX_KPAD_WASTE_K:
+    if k < AOS_SCAN_MAX_KPAD_WASTE_K and m == 1:
         scan = _build_aos_scan(m, n, k)
 
         @jax.jit
@@ -686,6 +688,20 @@ class NNIndex:
                                       self.mesh, n_local=self._n_local,
                                       prepadded=True)
             idx, d2 = run(search, self.r_sharded, self.r_ops_sharded)
+            return idx[:m], d2[:m]
+        from tpu_knn.kernels.smallm import SMALLM_MAX_M
+        from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_aos_topk
+
+        if mb == 1 and neighbors <= MAX_NEIGHBORS:
+            # m=1 top-K: the zero-prep AoS cell engine over the resident
+            # ref beats the prepared bounded sweep (k=16/K=16: 2.05 vs
+            # 3.30 ms; k=3: 0.88 vs ~1.74). It is linear in m (one
+            # roofline scan per row), so m >= 2 keeps the prepared
+            # one-scan engines. +inf PAD/tombstone rows self-exclude;
+            # an adversarial live-cell collapse degrades to the
+            # engine's exact top_k fallback, never to an error.
+            idx, d2 = _build_aos_topk(mb, self._n_eff, self.k,
+                                      neighbors)(search, self.ref_dev)
             return idx[:m], d2[:m]
         run = _build_topk(mb, self._n_eff, self.k, neighbors,
                           self.r_ops[0].shape[1], self.precision)

@@ -972,8 +972,118 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _build_aos_topk(m: int, n: int, k: int, kk: int):
+    """Zero-prep per-call top-K for m <= 4: the AoS-scan design
+    (kernels/smallm.py:_build_aos_scan, PERF_NOTES "Per-call prep
+    transpose") extended to K results — no Pallas, no SoA relayout.
+
+    Per query row (unrolled, m <= 4): one fused diff-form pass over the
+    caller's (n, k) array materializes the score vector; the K-th
+    smallest of the per-CELL minima (cells of C=4096 contiguous scores)
+    is a provable upper bound B on the global K-th score (the K cells
+    achieving the K smallest minima each contain a distinct point with
+    score <= B). Cells holding any qualifier (score <= B) are compacted
+    by one tiny sort of the (n/C,) cell ids, their score slices gathered
+    as rows, and the (cap_c * C,) gathered block sorted by exact
+    (d2, index) — v0's tie rule. More than cap_c qualifying cells (only
+    adversarially dense near-duplicates; expected qualifying cells <~ K)
+    is certified on device and lax.cond-falls back to a stable
+    lax.top_k(-s) — exact for any distribution (XLA top_k breaks ties
+    toward the lower index).
+
+    Design note: compacting individual qualifier INDICES with
+    jnp.nonzero(size=cap) measured 156 ms at n=2^24 — its sized form
+    lowers to a full-length sort. Cell compaction sorts only the n/C
+    cell ids (microseconds) and bounds the exact-sort input to
+    cap_c * C elements; every pass over the score vector is linear.
+    """
+    C = 4096
+    n_pad = round_up(n, C)
+    ncell = n_pad // C
+    cap_c = int(min(ncell, kk + 16))
+
+    def _cell_stage(sp, cell_iota, lane_iota):
+        """The 1-D postpass over a materialized (n_pad,) score vector."""
+        spc = sp.reshape(ncell, C)
+        cmin = jnp.min(spc, axis=1)                      # (ncell,)
+        bound = jax.lax.sort(cmin)[min(kk, ncell) - 1]
+        qual = jnp.any(spc <= bound, axis=1)             # (ncell,)
+        nqual = jnp.sum(qual)
+        key = jnp.where(qual, cell_iota, ncell)
+        cellids = jax.lax.sort(key)[:cap_c]              # ascending
+        live_c = cellids < ncell
+        rows = spc[jnp.where(live_c, cellids, 0)]        # (cap_c, C)
+        rows = jnp.where(live_c[:, None], rows, jnp.inf)
+        gidx = jnp.where(live_c, cellids, 0)[:, None] * C + lane_iota
+        flat_d = rows.reshape(-1)
+        flat_i = jnp.where(
+            (flat_d != jnp.inf) & (gidx.reshape(-1) < n),
+            gidx.reshape(-1), _I32_MAX)
+        ds, isrt = jax.lax.sort((flat_d, flat_i), dimension=0,
+                                num_keys=2)
+        idx_k = jnp.where(isrt[:kk] != _I32_MAX, isrt[:kk], -1)
+        d2_k = ds[:kk]
+
+        def fallback(_):
+            nv, ni = jax.lax.top_k(-sp, kk)
+            return ni.astype(jnp.int32), -nv
+
+        return jax.lax.cond(nqual <= cap_c,
+                            lambda _: (idx_k, d2_k), fallback, None)
+
+    @jax.jit
+    def run(search, ref):
+        cell_iota = jax.lax.iota(jnp.int32, ncell)
+        lane_iota = jax.lax.iota(jnp.int32, C)
+        if m == 1:
+            # 1-D graph (the (1, n) row costs the 8x sublane-tiled
+            # layout — same trap as _build_aos_scan).
+            s = jnp.sum((ref - search[0]) ** 2, axis=-1)     # (n,) exact
+            sp = (jnp.pad(s, (0, n_pad - n), constant_values=jnp.inf)
+                  if n_pad != n else s)
+            ri, rd = _cell_stage(sp, cell_iota, lane_iota)
+            return ri[None], rd[None]
+        # m > 1: per-row 1-D scans. All three m>1 shapes were measured
+        # at (m=4, k=16, K=16, n=2^24): this per-row loop 8.2 ms (m
+        # roofline ref reads), a joint (m, n) graph 8.9 (sublane-padded
+        # score rows), scores-transposed (n, m) + per-row postpass 11.1
+        # (the (n,m,k) reduction does not fuse cleanly) — linear-in-m
+        # is the best XLA offers here, which is why routing prefers the
+        # prepared engines at m >= 2 (k >= 8) / m >= 2 (k < 8, top-K).
+        rows_i, rows_d = [], []
+        for r in range(m):
+            s = jnp.sum((ref - search[r]) ** 2, axis=-1)
+            sp = (jnp.pad(s, (0, n_pad - n), constant_values=jnp.inf)
+                  if n_pad != n else s)
+            ri, rd = _cell_stage(sp, cell_iota, lane_iota)
+            rows_i.append(ri)
+            rows_d.append(rd)
+        return jnp.stack(rows_i), jnp.stack(rows_d)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _build_topk_percall(m: int, n: int, k: int, kk: int, precision: str,
                         method: str = "auto"):
+    from tpu_knn.kernels.smallm import SMALLM_MAX_M
+
+    if method == "aos" or (
+            method == "auto" and kk <= MAX_NEIGHBORS
+            and (m <= 2 or (m <= SMALLM_MAX_M and k < 8))):
+        # Per-call small-m: zero-prep AoS engine (the pad+T relayout
+        # alone costs ~2x this engine's whole runtime at (2^24, 16)).
+        # The engine is linear in m (one roofline scan per row), so auto
+        # hands m >= 3 at k >= 8 back to prep+sweep (~6.9 ms flat at
+        # (2^24,16,K=16) vs m x 2.05 here); at k < 8 the relayout's 8/k
+        # read amplification keeps aos ahead through m=4.
+        if not (1 <= m <= SMALLM_MAX_M):
+            raise ValueError(
+                f"aos top-K serves 1 <= m <= {SMALLM_MAX_M}, got {m}")
+        if kk > MAX_NEIGHBORS:
+            raise ValueError(
+                f"aos top-K serves K <= {MAX_NEIGHBORS}, got {kk}")
+        return _build_aos_topk(m, n, k, kk)
     if method == "auto":
         method = _auto_method(m, kk)
     if method == "sweep":
@@ -1002,11 +1112,14 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
 
     Returns (idx (m, K) i32, d2 (m, K) f32), each row ascending by exact
     (squared distance, index). Requires neighbors <= n. `method` selects
-    the engine: "sweep" (one reference read, K <= SWEEP_MAX_NEIGHBORS),
-    "passes" (K banded reads, K <= PASSES_MAX_NEIGHBORS), or "auto"
-    (K <= MAX_NEIGHBORS picks the measured winner; larger K — up to
-    PASSES_MAX_NEIGHBORS — is served by the passes engine at K-scan
-    cost, the completeness escape hatch radius queries escalate into).
+    the engine: "aos" (zero-prep XLA scan, m <= 4 and K <= 128 — the
+    per-call default in that regime), "sweep" (one reference read,
+    K <= SWEEP_MAX_NEIGHBORS), "passes" (K banded reads,
+    K <= PASSES_MAX_NEIGHBORS), "seeded" (the batch extraction engine),
+    or "auto" (K <= MAX_NEIGHBORS picks the measured winner; larger K —
+    up to PASSES_MAX_NEIGHBORS — is served by the passes engine at
+    K-scan cost, the completeness escape hatch radius queries escalate
+    into).
     """
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
