@@ -459,6 +459,37 @@ def test_filtered_view_exact_and_original_ids():
     np.testing.assert_array_equal(np.asarray(pi), np.argmin(D, axis=1))
 
 
+def test_filtered_view_never_scans_unmasked_aos():
+    """Regression (r4): filtered views share the parent's UNMASKED AoS
+    array — every route that scans ref_dev directly (dense exact at
+    small n, the zero-prep AoS 1-NN at m=1 k<8, the AoS top-K at m=1)
+    must be gated off for views or excluded points leak back. Each case
+    plants the globally-nearest point OUTSIDE the kept set."""
+    rng = np.random.default_rng(13)
+    # dense regime: n <= 4096 and m > 4
+    ref = rng.random((500, 3)).astype(np.float32)
+    q = rng.random((8, 3)).astype(np.float32)
+    ref[123] = q[0]                      # exact hit, excluded below
+    keep = np.ones(500, bool)
+    keep[123] = False
+    view = NNIndex(ref).filtered_view(keep)
+    gi, gd = view.query(q)
+    assert int(gi[0]) != 123 and float(gd[0]) > 0.0
+    D = np.where(keep[None, :],
+                 ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1), np.inf)
+    np.testing.assert_array_equal(np.asarray(gi), np.argmin(D, axis=1))
+    # m=1, k<8 (AoS 1-NN regime) and m=1 top-K (AoS cell regime)
+    gi1, gd1 = view.query(q[:1])
+    assert int(gi1[0]) == int(np.argmin(D[0]))
+    gk, gkd = view.query(q[:1], neighbors=3)
+    np.testing.assert_array_equal(
+        np.asarray(gk)[0], np.argsort(D[0], kind="stable")[:3])
+    assert float(gkd[0, 0]) > 0.0
+    # radius through the same gate
+    ri, rd, rc = view.query_radius(q[:1], 0.05)
+    assert 123 not in set(np.asarray(ri)[0].tolist())
+
+
 def test_filtered_view_validation():
     rng = np.random.default_rng(10)
     ref = rng.random((400, 3)).astype(np.float32)

@@ -49,7 +49,7 @@ from tpu_knn.utils.shapes import round_up
 
 
 @functools.lru_cache(maxsize=None)
-def _build_smallm_prepared(m: int, n: int, k: int):
+def _build_smallm_prepared(m: int, n: int, k: int, aos_ok: bool = True):
     """Small-batch prepared pipeline: the diff-form VPU kernel
     (kernels/smallm.py) against the SAME SoA operand as the fused path —
     the m<=4 regime where the MXU's packed-dot prep work is all overhead.
@@ -60,12 +60,14 @@ def _build_smallm_prepared(m: int, n: int, k: int):
     (2^24,3): 0.452 vs 0.773 ms — smallm._build_aos_scan). The AoS scan
     is linear in m (per-row roofline reads), so m >= 2 keeps the Pallas
     kernel's one-scan-for-all-rows shape. PAD/tombstone +inf rows
-    self-exclude exactly as in the dense path."""
+    self-exclude exactly as in the dense path. ``aos_ok=False``
+    (filtered views, whose shared ref_dev is NOT masked) forces the
+    masked-operand Pallas path at every m."""
     from tpu_knn.kernels.smallm import (
         AOS_SCAN_MAX_KPAD_WASTE_K, _build_aos_scan, _build_smallm_candidates,
     )
 
-    if k < AOS_SCAN_MAX_KPAD_WASTE_K and m == 1:
+    if k < AOS_SCAN_MAX_KPAD_WASTE_K and m == 1 and aos_ok:
         scan = _build_aos_scan(m, n, k)
 
         @jax.jit
@@ -414,6 +416,11 @@ class NNIndex:
         col_keep = jnp.pad(jnp.asarray(keep), (0, width - self.n))
         view.r_ops = (jnp.where(col_keep[None, :], r_op, PAD_VALUE),)
         view._view_live = live
+        # The shared AoS array is NOT masked — only the SoA operand is.
+        # Routes that SCAN ref_dev directly (dense exact, the zero-prep
+        # AoS 1-NN/top-K engines) would see excluded points; this flag
+        # sends the view down the masked-operand pipelines instead.
+        view._aos_selfmasked = False
         return view
 
     # ---- checkpoint/resume ------------------------------------------
@@ -613,8 +620,10 @@ class NNIndex:
 
         n = self._n_eff
         if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
-            return (_build_smallm_prepared(m, n, self.k),
-                    (self.r_ops, self.ref_dev))
+            return (_build_smallm_prepared(
+                m, n, self.k,
+                aos_ok=getattr(self, "_aos_selfmasked", True)),
+                (self.r_ops, self.ref_dev))
         tile_m, _ = pick_tiles(self.k, m, n)
         run = _build_prepared_query(m, n, self.k, tile_m,
                                     self.tile_n, self.precision)
@@ -692,7 +701,8 @@ class NNIndex:
         from tpu_knn.kernels.smallm import SMALLM_MAX_M
         from tpu_knn.kernels.topk import MAX_NEIGHBORS, _build_aos_topk
 
-        if mb == 1 and neighbors <= MAX_NEIGHBORS:
+        if (mb == 1 and neighbors <= MAX_NEIGHBORS
+                and getattr(self, "_aos_selfmasked", True)):
             # m=1 top-K: the zero-prep AoS cell engine over the resident
             # ref beats the prepared bounded sweep (k=16/K=16: 2.05 vs
             # 3.30 ms; k=3: 0.88 vs ~1.74). It is linear in m (one
@@ -731,19 +741,22 @@ class NNIndex:
             from tpu_knn.kernels.smallm import smallm_applicable
 
             n = self._n_eff
+            aos_ok = getattr(self, "_aos_selfmasked", True)
             if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
                 # The diff-form VPU kernel serves tiny batches off the
                 # very same SoA operand (still the "fused" strategy — a
                 # kernel choice, not a route).
-                run = _build_smallm_prepared(m, n, self.k)
+                run = _build_smallm_prepared(m, n, self.k, aos_ok=aos_ok)
                 return run(search, self.r_ops, self.ref_dev)
             from tpu_knn.kernels.dense import dense_applicable, _dense
 
-            if dense_applicable(m, self.k, n):
+            if dense_applicable(m, self.k, n) and aos_ok:
                 # Small reference sets skip the streaming pipeline (same
                 # routing as per-call fused_knn — ADVICE r2: SERVING.md
                 # promised this route; PAD slots of mutable indexes
                 # self-exclude via their +inf diff-form distance).
+                # Filtered views skip it: _dense scans the SHARED
+                # unmasked ref_dev and would see excluded points.
                 return _dense(search, self.ref_dev)
             tile_m, _ = pick_tiles(self.k, m, n)
             run = _build_prepared_query(m, n, self.k, tile_m,
