@@ -412,19 +412,29 @@ def main():
                                            (65536, 3), jnp.float32))
         qk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 1),
                                            (1024, 3), jnp.float32))
-        t0 = time.time()
-        tree_index = NNIndex(rk, strategy="kdtree")
-        kd_build_ms = (time.time() - t0) * 1e3
-        tree_index.query(qk)  # warm (compile/load)
-        t0 = time.time()
+        # Host-side timings on a shared-CPU machine are noisy (spikes of
+        # 10x have been observed); medians over repeats are reported so
+        # the row reflects the engine, not a scheduler hiccup.
+        build_times = []
         for _i in range(5):
+            t0 = time.time()
+            tree_index = NNIndex(rk, strategy="kdtree")
+            build_times.append((time.time() - t0) * 1e3)
+        kd_build_ms = sorted(build_times)[2]
+        tree_index.query(qk)  # warm (compile/load)
+        query_times = []
+        for _i in range(5):
+            t0 = time.time()
             ik, _dk = tree_index.query(qk)
+            query_times.append((time.time() - t0) * 1e3)
         jax.block_until_ready(ik)
-        kd_query_ms = (time.time() - t0) / 5 * 1e3
+        kd_query_ms = sorted(query_times)[2]
         details["rows"].append({
             "name": "kdtree_3x1024x65536",
             "build_ms": round(kd_build_ms, 2),
             "query_ms": round(kd_query_ms, 3),
+            "timing": "median of 5 (host-side, shared CPU)",
+            "backend": "native kdt2 (leaf-bucketed serving tree)",
             "reference": "v9 build 18.7ms query 1.07ms; v10 query 0.43ms "
                          "(README.md:334-343)",
         })

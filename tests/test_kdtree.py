@@ -249,3 +249,109 @@ def test_nnindex_kdtree_topk():
     np.testing.assert_array_equal(idx, want)
     with pytest.raises(ValueError, match="neighbors"):
         ix.query(q, neighbors=0)
+
+
+# ---- kdt2: the native leaf-bucketed serving tree ------------------------
+
+def _native_or_skip():
+    from tpu_knn import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    return native
+
+
+@pytest.mark.parametrize("n,k", [(1, 3), (2, 1), (17, 2), (333, 3),
+                                 (4096, 3), (2000, 16)])
+def test_kdt2_matches_oracle(n, k):
+    """kdt2 (sampled-pivot leaf-bucketed build, iterative traversal) is
+    exact with v0's lowest-index tie rule, across leaf-boundary sizes."""
+    native = _native_or_skip()
+    rng = np.random.default_rng(n * 31 + k)
+    ref = rng.random((n, k), np.float32)
+    q = np.concatenate([rng.random((40, k), np.float32),
+                        ref[: min(8, n)]])  # planted exact hits
+    t = native.Kdt2Index(ref)
+    idx, d2 = t.query(q)
+    np.testing.assert_array_equal(idx, oracle(q, ref))
+
+
+def test_kdt2_ties_lowest_index():
+    """Exact duplicates anywhere in the set: kdt2 must report the LOWEST
+    reference index among equal distances, like every other reducer."""
+    native = _native_or_skip()
+    rng = np.random.default_rng(5)
+    base = rng.random((64, 3), np.float32)
+    ref = np.repeat(base, 8, axis=0)         # 8 copies of each point
+    perm = rng.permutation(len(ref))
+    ref = ref[perm]                          # scatter duplicates
+    q = base.copy()
+    t = native.Kdt2Index(ref)
+    idx, d2 = t.query(q)
+    np.testing.assert_array_equal(idx, oracle(q, ref))
+    np.testing.assert_allclose(d2, 0.0)
+
+
+def test_kdt2_topk_matches_reference_tree():
+    """kdt2 top-K equals the reference-format tree's top-K (both lex
+    (d2, idx) ascending), including the n < K padded tail."""
+    native = _native_or_skip()
+    rng = np.random.default_rng(7)
+    for n, k, K in [(500, 3, 8), (500, 3, 128), (50, 4, 70), (5, 2, 9)]:
+        ref = rng.random((n, k), np.float32)
+        q = rng.random((17, k), np.float32)
+        t = native.Kdt2Index(ref)
+        gi, gd = t.query_topk(q, min(K, 128))
+        ri, rd = native.kdtree_query_topk(
+            q, ref, *native.kdtree_build(ref), min(K, 128))
+        np.testing.assert_array_equal(gi, ri)
+        np.testing.assert_allclose(gd, rd)
+
+
+def test_kdt2_adversarial_distributions():
+    """Sampled pivots must stay exact (not merely balanced) on data that
+    defeats the sampling: duplicates, constant dims, clusters."""
+    native = _native_or_skip()
+    rng = np.random.default_rng(13)
+    cases = []
+    ref = np.repeat(rng.random((16, 3), np.float32), 256, axis=0)
+    cases.append(ref)                                    # mass duplication
+    ref = rng.random((4096, 3), np.float32)
+    ref[:, 0] = 0.5
+    cases.append(ref)                                    # dead dimension
+    centers = rng.random((4, 3), np.float32) * 100
+    ref = (centers[rng.integers(0, 4, 4096)]
+           + rng.normal(0, 1e-4, (4096, 3))).astype(np.float32)
+    cases.append(ref)                                    # tight clusters
+    for ref in cases:
+        q = np.concatenate([rng.random((32, 3), np.float32), ref[:8]])
+        t = native.Kdt2Index(np.ascontiguousarray(ref))
+        idx, _ = t.query(q)
+        np.testing.assert_array_equal(idx, oracle(q, np.ascontiguousarray(ref)))
+
+
+def test_nnindex_kdtree_serves_from_kdt2_and_checkpoints():
+    """NNIndex(kdtree): serving runs on kdt2; the reference-format tree
+    materializes lazily for save(); load() restores the saved arrays
+    byte-identically and still answers exactly."""
+    from tpu_knn.engine.index import NNIndex
+
+    native = _native_or_skip()
+    rng = np.random.default_rng(17)
+    ref = rng.random((3000, 3), np.float32)
+    q = rng.random((32, 3), np.float32)
+    ix = NNIndex(ref, strategy="kdtree")
+    assert ix._kdt2 is not None and ix._tree is None  # lazy ref-format tree
+    idx, _ = ix.query(q)
+    np.testing.assert_array_equal(idx, oracle(q, ref))
+    ti, _ = ix.query(q, neighbors=5)
+    ri, _ = native.kdtree_query_topk(q, ref, *native.kdtree_build(ref), 5)
+    np.testing.assert_array_equal(ti, ri)
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "kd.npz")
+    ix.save(path)
+    assert ix._tree is not None                        # built for save
+    back = NNIndex.load(path)
+    np.testing.assert_array_equal(back.tree.p, ix.tree.p)
+    bi, _ = back.query(q)
+    np.testing.assert_array_equal(bi, idx)

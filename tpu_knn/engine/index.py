@@ -190,19 +190,21 @@ class NNIndex:
             jax.block_until_ready(self.proj_index)
         elif strategy == "kdtree":
             from tpu_knn import native
-            from tpu_knn.kdtree.build import build_kdtree
-            from tpu_knn.kdtree.traversal import DeviceKDTree
 
-            self.tree = build_kdtree(ref)
-            # Backend choice: the native CPU query wins by orders of
-            # magnitude (1.3 ms vs ~1.2 s at k=3, m=1024, n=65536) —
-            # pointer-chasing traversal is anti-TPU (docs/PERF_NOTES.md);
-            # the device path serves as fallback and capability demo.
-            self.use_native_query = native.available()
-            self.dev_tree = (DeviceKDTree(self.tree)
-                             if self.k <= 8 and not self.use_native_query
-                             else None)
             self.ref = ref
+            # Backend choice: the native CPU queries win by orders of
+            # magnitude (pointer-chasing traversal is anti-TPU,
+            # docs/PERF_NOTES.md); among them the leaf-bucketed kdt2
+            # (tpuknn_native.cc) is the serving tree — the reference-
+            # format implicit-heap tree (`self.tree`) is only built
+            # lazily, for checkpointing and the device/NumPy fallbacks.
+            self.use_native_query = native.available()
+            self._tree = None
+            self._kdt2 = None
+            if self.use_native_query and self.k <= native.KDT2_MAX_K:
+                self._kdt2 = native.Kdt2Index(ref)
+            if not self.use_native_query:
+                self.tree  # build eagerly for the fallback paths
         elif strategy == "sharded":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -423,6 +425,49 @@ class NNIndex:
         view._aos_selfmasked = False
         return view
 
+    # ---- kdtree backends (lazy) --------------------------------------
+
+    @property
+    def tree(self):
+        """Reference-format implicit-heap KDTree (kdtree strategy only).
+
+        Built lazily: serving queries run on the native kdt2 tree, so the
+        reference-format arrays are only materialized when something
+        needs the portable layout (save(), the device-traversal demo, or
+        the NumPy fallback). Deterministic — two builds over the same
+        points produce identical arrays."""
+        if self.strategy != "kdtree":
+            raise AttributeError("tree: kdtree-strategy indexes only")
+        if self._tree is None:
+            from tpu_knn.kdtree.build import build_kdtree
+
+            self._tree = build_kdtree(self.ref)
+        return self._tree
+
+    @property
+    def dev_tree(self):
+        """Device traversal handle (capability demo; never used when the
+        native backend is available — see PARITY.md 'Dispatch
+        decisions')."""
+        if self.strategy != "kdtree":
+            raise AttributeError("dev_tree: kdtree-strategy indexes only")
+        if self.use_native_query or self.k > 8:
+            return None
+        if getattr(self, "_dev_tree", None) is None:
+            from tpu_knn.kdtree.traversal import DeviceKDTree
+
+            self._dev_tree = DeviceKDTree(self.tree)
+        return self._dev_tree
+
+    def _serving_tree(self):
+        """The native kdt2 serving tree, rebuilding it after a load()
+        (one-time, first query) — or None when k exceeds its dim cap."""
+        from tpu_knn import native
+
+        if self._kdt2 is None and self.k <= native.KDT2_MAX_K:
+            self._kdt2 = native.Kdt2Index(self.ref)
+        return self._kdt2
+
     # ---- checkpoint/resume ------------------------------------------
 
     def save(self, path: str) -> None:
@@ -471,7 +516,6 @@ class NNIndex:
                 # build from query cost for the same reason).
                 from tpu_knn import native
                 from tpu_knn.kdtree.build import KDTree
-                from tpu_knn.kdtree.traversal import DeviceKDTree
 
                 ix = cls.__new__(cls)
                 ix.ref = np.ascontiguousarray(ref, np.float32)
@@ -479,12 +523,14 @@ class NNIndex:
                 ix.strategy = "kdtree"
                 ix.mutable = False
                 ix.precision = precision
-                ix.tree = KDTree(ref=ix.ref, p=z["p"], dim=z["dim"],
-                                 split_val=z["split_val"])
+                ix._tree = KDTree(ref=ix.ref, p=z["p"], dim=z["dim"],
+                                  split_val=z["split_val"])
                 ix.use_native_query = native.available()
-                ix.dev_tree = (DeviceKDTree(ix.tree)
-                               if ix.k <= 8 and not ix.use_native_query
-                               else None)
+                # The serving tree (kdt2) is rebuilt from the points on
+                # first query rather than here: load() itself stays
+                # instant, and the reference-format arrays above keep the
+                # restored build byte-identical to what was saved.
+                ix._kdt2 = None
                 return ix
             if mutable:
                 # Rebuild from the SLOT array (dead slots are already PAD
@@ -588,6 +634,9 @@ class NNIndex:
             # tunnel).
             from tpu_knn import native
 
+            kdt2 = self._serving_tree()
+            if kdt2 is not None:
+                return kdt2.query(np.ascontiguousarray(search, np.float32))
             idx, d2 = native.kdtree_query(
                 np.ascontiguousarray(search, np.float32), self.ref,
                 self.tree.p, self.tree.dim)
@@ -659,13 +708,19 @@ class NNIndex:
 
         if self.strategy == "kdtree" and self.use_native_query:
             # Native CPU tree K-NN: bounded (d2, idx) max-heap per query
-            # with the same lex tie rule (tpuknn_native.cc:
-            # tk_kdtree_query_topk); host in, host out — like 1-NN here.
+            # with the same lex tie rule (tpuknn_native.cc); the kdt2
+            # serving tree handles K <= its in-traversal heap capacity,
+            # the reference-format tree the (unbounded-K) remainder.
             from tpu_knn import native
 
             if not (1 <= neighbors <= self.n):
                 raise ValueError(
                     f"neighbors must be in [1, {self.n}], got {neighbors}")
+            kdt2 = (self._serving_tree()
+                    if neighbors <= native.KDT2_TOPK_MAX else None)
+            if kdt2 is not None:
+                return kdt2.query_topk(
+                    np.ascontiguousarray(search, np.float32), neighbors)
             return native.kdtree_query_topk(
                 np.ascontiguousarray(search, np.float32), self.ref,
                 self.tree.p, self.tree.dim, neighbors)
