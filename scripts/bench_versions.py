@@ -162,6 +162,15 @@ def main():
             lambda: native.kdtree_query(qh, rh, tree.p, tree.dim))
         tree_rows.append(("v9 (native C++ KD-tree, host)", t_build, t_query,
                           "reference v9: 18.7 / 1.07 ms"))
+        # kdt2: the leaf-bucketed serving tree NNIndex(kdtree) actually
+        # queries (tpuknn_native.cc; reference-format v9 row above kept
+        # for the ladder comparison).
+        t2 = native.Kdt2Index(rh)
+        t2_build = host_ms(lambda: native.Kdt2Index(rh))
+        t2_query = host_ms(lambda: t2.query(qh))
+        tree_rows.append(("kdt2 (leaf-bucketed serving tree, host)",
+                          t2_build, t2_query,
+                          "NNIndex(kdtree) serving backend"))
         # v10: batched device traversal (capability demo — dispatch-
         # excluded; see docs/PARITY.md "Dispatch decisions").
         try:
