@@ -382,6 +382,27 @@ def test_seeded_engine_ragged_n_and_auto_routing():
     np.testing.assert_array_equal(np.asarray(si2), oracle_topk(q2, r2, 16))
 
 
+def test_seeded_engine_escalating_compaction():
+    """Qualifier spike past the fast compaction cap (48) but within the
+    full 2K+16 capacity: the on-device escalation (lax.cond re-running
+    the packed top_k at full cap) must recover every planted neighbor
+    exactly — 60 near-duplicates of query 0, one per distinct 256-lane
+    cell, all at nearly equal distance, so 60 cells qualify at K=32."""
+    rng = np.random.default_rng(25)
+    k, n, m, kk = 8, 1 << 16, 16, 32    # nc=256: cap_fast=48, cap_full=80
+    r = (rng.random((n, k)) * 10 + 5).astype(np.float32)
+    q = rng.random((m, k)).astype(np.float32)
+    for j in range(60):
+        r[j * 256 + 7] = q[0] + np.float32(1e-4 * (j + 1))
+    si, sd = topk_knn(q, r, kk, method="seeded")
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    oi = np.argsort(D, axis=1, kind="stable")[:, :kk]
+    np.testing.assert_array_equal(np.asarray(si), oi)
+    np.testing.assert_allclose(np.asarray(sd),
+                               np.take_along_axis(D, oi, axis=1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_seeded_engine_row_chunking_beyond_2048():
     """m > 2048 splits into 1024-row sub-batches (post-compaction cost
     is nonlinear in m); results must be seamless across boundaries."""
