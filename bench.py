@@ -530,6 +530,9 @@ def main():
                 # K > 16: the cubic (8-field) moment recovery
                 ("topk_batch_1024x2^20_k16_K32_seeded", 1024, 1 << 20, 16,
                  32, "seeded", "passes"),
+                # K > 32: 128-lane cells + 4-way part-split compaction
+                ("topk_batch_1024x2^20_k16_K64_seeded", 1024, 1 << 20, 16,
+                 64, "seeded", "passes"),
                 # per-call m=1: the zero-prep AoS cell engine (no SoA
                 # operand; the serving row above amortizes a prepared
                 # one — this row is the cold-operand cost)

@@ -369,7 +369,8 @@ def test_seeded_engine_ragged_n_and_auto_routing():
     assert _auto_method(1024, 8) == "seeded"
     assert _auto_method(64, 8) == "seeded"
     assert _auto_method(8, 8) == "sweep"
-    assert _auto_method(1024, 64) == "passes"
+    assert _auto_method(1024, 64) == "seeded"
+    assert _auto_method(1024, 65) == "passes"
     rng = np.random.default_rng(23)
     q = rng.random((40, 7), np.float32)
     r = rng.random((2777, 7), np.float32)   # ragged vs any tile width
@@ -401,6 +402,33 @@ def test_seeded_engine_escalating_compaction():
     np.testing.assert_allclose(np.asarray(sd),
                                np.take_along_axis(D, oi, axis=1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_seeded_engine_k_beyond_32():
+    """32 < K <= 64: 128-lane cells + 4-way part-split compaction.
+    Differential vs the oracle on uniform data, plus a one-part
+    qualifier pileup (60 near-duplicate cells all in part 0) that must
+    escalate to the single-part tier and stay exact."""
+    rng = np.random.default_rng(26)
+    q = rng.random((40, 7), np.float32)
+    r = rng.random((6000, 7), np.float32)
+    r[123] = q[11]                      # d=0 hit
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    for kk in (48, 64):
+        si, sd = topk_knn(q, r, kk, method="seeded")
+        np.testing.assert_allclose(np.asarray(sd),
+                                   np.sort(D, 1)[:, :kk],
+                                   rtol=1e-5, atol=1e-6)
+        assert int(np.asarray(si)[11, 0]) == 123
+    # skew: every planted cell lands in part 0 of the 4-way split
+    r2 = (rng.random((1 << 15, 5)) * 10 + 5).astype(np.float32)
+    q2 = rng.random((8, 5)).astype(np.float32)
+    for j in range(60):
+        r2[j * 128 + 3] = q2[0] + np.float32(1e-4 * (j + 1))
+    si2, _ = topk_knn(q2, r2, 48, method="seeded")
+    D2 = ((q2[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :48])
 
 
 def test_seeded_engine_row_chunking_beyond_2048():

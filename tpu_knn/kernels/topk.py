@@ -15,7 +15,7 @@ Three engines, differentially tested against each other:
   seeded at (B, I32_MAX), making the guard reject almost every tile;
   ~2 reference reads, near-K-independent); larger m runs the single MXU
   sweep (one read; insertion amortized across tile_m query rows).
-- "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 32): the
+- "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 64): the
   round-3 MOMENT-EXTRACTION engine. A 1-NN pre-pass bounds each row's
   global K-th score; one thresholded scan then emits exact integer
   moments (cnt, sum(l), sum(l^2)) per (row, 128/256-lane cell) of the
@@ -25,7 +25,9 @@ Three engines, differentially tested against each other:
   (perfect-square discriminant); candidates are compacted with
   lax.top_k and sorted by exact (d2, index). Dense adversarial cells
   (>= 3 qualifiers) are certified detectable and lax.cond-fall back to
-  "passes". ~2 reference reads at ANY K <= 32; selection is by EXACT
+  "passes". ~2 reference reads at ANY K <= 64 (cubic moment recovery
+  past K=16, 128-lane cells + part-split compaction past K=32);
+  selection is by EXACT
   distance over a certified superset of the approx-score top-K —
   strictly tighter conditioning than the score-selected engines.
   Design history and measurements: docs/PERF_NOTES.md "Round-3".
@@ -82,6 +84,19 @@ PASSES_MAX_NEIGHBORS = 512
 #: chunk; past this the K-pass engine's linear cost is the better trade.
 SWEEP_MAX_NEIGHBORS = 32
 
+#: Largest K the bound-seeded extraction engine serves. K <= 32 uses
+#: 256-lane cells (quadratic recovery to 16, cubic beyond); 32 < K <= 64
+#: drops to 128-lane cells so <= 3 qualifiers per cell stays typical
+#: (cubic-solvable) and compacts with a 4-way part split that keeps
+#: every lax.top_k under the XLA:TPU ~48-slot cost cliff (measured
+#: 20.9/20.8 ms at m=1024/n=2^20 for K=48/K=64 vs the passes
+#: engine's 136/180 — scripts/r6_probe_k64{b,c,d}.py). Past 64 the
+#: pass-1
+#: bound (K-th of 128 per-lane minima) goes too loose — at K=128 it
+#: admits ~1373 qualifiers/row and 5-deep cells (not cubic-solvable;
+#: r6_probe_k64) — so the banded passes engine takes over.
+SEEDED_MAX_NEIGHBORS = 64
+
 #: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
 #: insertion fold costs ~K compare-exchanges per score element over
 #: tile_m rows — it wins only the small-batch regime (m=8/K=8: 0.354 ms
@@ -95,10 +110,10 @@ SWEEP_AUTO_BUDGET = 256
 def _auto_method(m: int, kk: int) -> str:
     if kk <= SWEEP_MAX_NEIGHBORS and m * kk <= SWEEP_AUTO_BUDGET:
         return "sweep"
-    if kk <= SWEEP_MAX_NEIGHBORS:
-        # Batch regime: the bound-seeded batch sweep (~2 reference reads
-        # + rare insertions) replaces the K-pass engine's K full reads
-        # (measurements: docs/PERF_NOTES.md "Seeded batch sweep").
+    if kk <= SEEDED_MAX_NEIGHBORS:
+        # Batch regime: the bound-seeded extraction engine (~2 reference
+        # reads + moment recovery) replaces the K-pass engine's K full
+        # reads (measurements: docs/PERF_NOTES.md "Round-3").
         return "seeded"
     return "passes"
 
@@ -366,7 +381,13 @@ def _extract_mode(tile_n: int, kk: int) -> tuple[int, int]:
     essentially every batch (measured: 103 ms passes fallback per
     probe batch); it emits 8 fields including sum(l^3) and solves
     <= 3 per cell exactly, pushing the trigger to a 4-qualifier cell
-    (~3e-3/batch)."""
+    (~3e-3/batch). K > 32 (~110 qualifiers/row at K=64) drops BACK to
+    128-lane cells: 256-lane cells would hold 4+ qualifiers routinely,
+    while 128-lane cells keep the cubic solver viable (max cnt 3 over
+    32 perturbed reps at K=48/64 — r6_probe_k64) and the extraction
+    matmul is slightly cheaper (6.99 vs 7.56 ms at (256,4096))."""
+    if kk > 32:
+        return 128, _EXTRACT_FIELDS_CUBIC
     if tile_n % 256 == 0:
         return 256, (_EXTRACT_FIELDS if kk <= 16 else
                      _EXTRACT_FIELDS_CUBIC)
@@ -797,9 +818,9 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
             return run
     if method == "seeded":
-        if not 1 <= kk <= SWEEP_MAX_NEIGHBORS:
+        if not 1 <= kk <= SEEDED_MAX_NEIGHBORS:
             raise ValueError(
-                f"seeded engine serves K in [1, {SWEEP_MAX_NEIGHBORS}]")
+                f"seeded engine serves K in [1, {SEEDED_MAX_NEIGHBORS}]")
         if m > 2048:
             # The post-kernel compaction degrades nonlinearly past a few
             # thousand rows (measured: m=4096 cost 12x m=1024, not 4x);
@@ -870,9 +891,22 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # cap_full routes to the fallback (the cap term of `certified`).
         cap_full = min(nc, 2 * kk + 16)
         cap_fast = min(cap_full, 48)
-        # The payload-packed compaction needs 12 rank bits (nc <= 4096);
-        # wider moment arrays keep the take_along_axis pickup.
-        packed_compact = nc <= 4096
+        # K > 32 needs more capacity than ONE under-the-cliff top_k can
+        # give (2K+16 = 144 at K=64, qualifiers up to ~110/row): split
+        # the cell axis into 4 parts and compact each with its own
+        # cap-48 top_k — total capacity 192, every call in the fast
+        # regime, cost K-independent (20.8 ms at both K=48 and K=64 vs
+        # the sort-regime single top_k's 43 ms at K=64 and the passes
+        # engine's 180 — r6_probe_k64{b,c,d}). K <= 32 keeps the measured
+        # single-part two-tier design (a part split was SLOWER there:
+        # r5_probe_halves).
+        nparts = 4 if kk > 32 else 1
+        while nc % nparts != 0:
+            nparts //= 2
+        pw = nc // nparts
+        # The payload-packed compaction needs 12 rank bits (part width
+        # <= 4096 cells); wider parts keep the take_along_axis pickup.
+        packed_compact = pw <= 4096
 
         @jax.jit
         def run(search, r_ops, ref_aos):
@@ -914,45 +948,94 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             qual_rows = jnp.sum(qual, axis=1)
             if packed_compact:
                 r_iota = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
+                if nparts > 1:
+                    r_iota = r_iota % pw
                 head = jnp.where(qual,
-                                 (1 << 30) | ((nc - 1 - r_iota) << 18), 0)
+                                 (1 << 30) | ((pw - 1 - r_iota) << 18), 0)
                 suml_i = moms[1].astype(jnp.int32)
                 sumsq_i = moms[2].astype(jnp.int32)
-                keys = [head | jnp.where(
-                            qual, (suml_i << 3) | jnp.minimum(cnt, 7), 0),
-                        head | jnp.where(qual, sumsq_i, 0)]
-                if solvable == 3:
+                if solvable == 3 and cell == 128:
+                    # 128-lane cells shrink every legal payload: suml
+                    # <= 381 (9b), sumsq <= 48387 (16b), p3 <= 6145149
+                    # (23b) — p3 rides the spare payload bits of keys
+                    # 1-2 (6 high + 2 mid) plus 15 bits of key 3, so
+                    # THREE top_k keys suffice where 256-lane cells
+                    # need four (measured 20.1 vs 22.3 ms at K=64,
+                    # m=1024/n=2^20 — r6_probe_k64c/d).
                     p3i = moms[3]
-                    keys.append(head | jnp.where(qual, p3i >> 13, 0))
-                    keys.append(head | jnp.where(qual, p3i & 0x1FFF, 0))
+                    keys = [head | jnp.where(
+                                qual,
+                                ((p3i >> 17) << 12) | (suml_i << 3)
+                                | jnp.minimum(cnt, 7), 0),
+                            head | jnp.where(
+                                qual,
+                                (((p3i >> 15) & 3) << 16) | sumsq_i, 0),
+                            head | jnp.where(qual, p3i & 0x7FFF, 0)]
+                else:
+                    keys = [head | jnp.where(
+                                qual,
+                                (suml_i << 3) | jnp.minimum(cnt, 7), 0),
+                            head | jnp.where(qual, sumsq_i, 0)]
+                    if solvable == 3:
+                        p3i = moms[3]
+                        keys.append(head | jnp.where(qual, p3i >> 13, 0))
+                        keys.append(head
+                                    | jnp.where(qual, p3i & 0x1FFF, 0))
 
-            def recover(cap_i):
+            def recover(cap_i, parts_i):
                 """Compaction + lane recovery + exact rerank at capacity
-                ``cap_i``. Output shapes ((m, kk) twice + a certificate
-                bit) are capacity-INDEPENDENT, so the escalation cond
-                below can pick a capacity without width padding — the
-                fast path's gathers/sort stay at the narrow width."""
-                if packed_compact:
-                    outs = [jax.lax.top_k(kq, cap_i)[0] for kq in keys]
+                ``cap_i`` per part over ``parts_i`` cell-axis parts.
+                Output shapes ((m, kk) twice + a certificate bit) are
+                capacity-INDEPENDENT, so the escalation cond below can
+                pick a capacity without width padding — the fast path's
+                gathers/sort stay at the narrow width. The packed keys
+                carry tier-1's part-local ranks, so packed decode is
+                only valid at parts_i == nparts; the escalation tier
+                (parts_i=1 at K > 32) uses the position-gather mode."""
+                pw_i = nc // parts_i
+                cap_e = min(cap_i, pw_i)
+                if parts_i > 1:
+                    off = jnp.concatenate(
+                        [jnp.full((m, cap_e), p * pw_i, jnp.int32)
+                         for p in range(parts_i)], axis=1)
+                else:
+                    off = 0
+
+                def compact(kq):
+                    ps = [jax.lax.top_k(
+                              kq[:, p * pw_i:(p + 1) * pw_i], cap_e)[0]
+                          for p in range(parts_i)]
+                    return (ps[0] if parts_i == 1
+                            else jnp.concatenate(ps, axis=1))
+
+                if packed_compact and parts_i == nparts:
+                    outs = [compact(kq) for kq in keys]
                     a = outs[0]
                     valid = a >= (1 << 30)
-                    cellc = jnp.where(valid,
-                                      nc - 1 - ((a >> 18) & 0xFFF), 0)
+                    local = pw_i - 1 - ((a >> 18) & 0xFFF)
+                    cellc = jnp.where(valid, local + off, 0)
                     c_cnt = a & 7
-                    e1 = (a >> 3) & 0x7FFF
-                    p2 = outs[1] & 0x3FFFF
-                    if solvable == 3:
-                        p3 = (((outs[2] & 0x1FFF) << 13)
-                              | (outs[3] & 0x1FFF))
+                    if solvable == 3 and cell == 128:
+                        e1 = (a >> 3) & 0x1FF
+                        p2 = outs[1] & 0xFFFF
+                        p3 = ((((a >> 12) & 0x3F) << 17)
+                              | (((outs[1] >> 16) & 3) << 15)
+                              | (outs[2] & 0x7FFF))
+                    else:
+                        e1 = (a >> 3) & 0x7FFF
+                        p2 = outs[1] & 0x3FFFF
+                        if solvable == 3:
+                            p3 = (((outs[2] & 0x1FFF) << 13)
+                                  | (outs[3] & 0x1FFF))
                 else:
-                    key = jnp.where(
-                        qual,
-                        nc - jax.lax.broadcasted_iota(jnp.int32,
-                                                      cnt.shape, 1),
-                        0)
-                    vals, _pos = jax.lax.top_k(key, cap_i)
+                    r_loc = jax.lax.broadcasted_iota(jnp.int32,
+                                                     cnt.shape, 1)
+                    if parts_i > 1:
+                        r_loc = r_loc % pw_i
+                    key = jnp.where(qual, pw_i - r_loc, 0)
+                    vals = compact(key)
                     valid = vals > 0
-                    cellc = jnp.where(valid, nc - vals, 0)
+                    cellc = jnp.where(valid, pw_i - vals + off, 0)
                     take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
                     c_cnt = jnp.where(valid, take(cnt), 0)
                     e1 = take(moms[1]).astype(jnp.int32)
@@ -1054,18 +1137,22 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             cert_common = ((jnp.max(cnt) <= solvable)
                            & jnp.all(jnp.sum(jnp.minimum(cnt, solvable),
                                              axis=1) >= kk))
-            idx_f, d2_f, rec_ok_f = recover(cap_fast)
-            cert_fast = (cert_common & rec_ok_f
-                         & jnp.all(qual_rows <= cap_fast))
+            idx_f, d2_f, rec_ok_f = recover(cap_fast, nparts)
+            if nparts > 1:
+                part_q = jnp.sum(qual.reshape(m, nparts, pw), axis=2)
+                fast_fits = jnp.all(part_q <= min(cap_fast, pw))
+            else:
+                fast_fits = jnp.all(qual_rows <= cap_fast)
+            cert_fast = cert_common & rec_ok_f & fast_fits
 
             def fallback(_):
                 return fallback_run(search, r_ops, ref_aos)
 
-            if cap_full == cap_fast:
+            if cap_full == cap_fast and nparts == 1:
                 escalate = fallback
             else:
                 def escalate(_):
-                    idx_s, d2_s, rec_ok_s = recover(cap_full)
+                    idx_s, d2_s, rec_ok_s = recover(cap_full, 1)
                     cert_full = (cert_common & rec_ok_s
                                  & jnp.all(qual_rows <= cap_full))
                     return jax.lax.cond(
