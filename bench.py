@@ -533,6 +533,10 @@ def main():
                 # K > 32: 128-lane cells + 4-way part-split compaction
                 ("topk_batch_1024x2^20_k16_K64_seeded", 1024, 1 << 20, 16,
                  64, "seeded", "passes"),
+                # K > 64: half-open score-band rounds (~2 reads per 64
+                # results; the passes twin here is 358 ms)
+                ("topk_batch_1024x2^20_k16_K128_rounds", 1024, 1 << 20,
+                 16, 128, "seeded", "passes"),
                 # per-call m=1: the zero-prep AoS cell engine (no SoA
                 # operand; the serving row above amortizes a prepared
                 # one — this row is the cold-operand cost)

@@ -370,7 +370,9 @@ def test_seeded_engine_ragged_n_and_auto_routing():
     assert _auto_method(64, 8) == "seeded"
     assert _auto_method(8, 8) == "sweep"
     assert _auto_method(1024, 64) == "seeded"
-    assert _auto_method(1024, 65) == "passes"
+    assert _auto_method(1024, 65) == "seeded"   # multi-round past 64
+    assert _auto_method(1024, 512) == "seeded"
+    assert _auto_method(1024, 513) == "passes"
     rng = np.random.default_rng(23)
     q = rng.random((40, 7), np.float32)
     r = rng.random((2777, 7), np.float32)   # ragged vs any tile width
@@ -429,6 +431,83 @@ def test_seeded_engine_k_beyond_32():
     D2 = ((q2[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
     np.testing.assert_array_equal(
         np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :48])
+
+
+def test_seeded_engine_multi_round_k_beyond_64():
+    """K > 64: ceil(K/64) score-band rounds, each a banded 1-NN pre-pass
+    + banded extraction over its half-open band (B_{r-1}, B_r]; one
+    exact rerank over the concatenated candidates. Differential vs the
+    oracle with a planted duplicate pair (tie -> lowest index first)."""
+    rng = np.random.default_rng(31)
+    q = rng.random((24, 7), np.float32)
+    r = rng.random((20000, 7), np.float32)
+    r[123] = q[11]
+    r[9000] = q[11]                    # exact duplicate of r[123]
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    for kk in (100, 128, 200):
+        si, sd = topk_knn(q, r, kk, method="seeded")
+        np.testing.assert_allclose(np.asarray(sd),
+                                   np.sort(D, 1)[:, :kk],
+                                   rtol=1e-5, atol=1e-6)
+        assert int(np.asarray(si)[11, 0]) == 123
+        assert int(np.asarray(si)[11, 1]) == 9000
+
+
+def test_seeded_engine_multi_round_fallback_paths():
+    """Rounds that cannot certify must land on the passes fallback and
+    stay exact: (a) K == n (later rounds exhaust; the bound goes +inf
+    and floods the counts), (b) dense near-duplicate clusters (cells
+    beyond the cubic solver)."""
+    rng = np.random.default_rng(7)
+    q = rng.random((6, 5), np.float32)
+    r = rng.random((300, 5), np.float32)
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    si, sd = topk_knn(q, r, 300, method="seeded")
+    np.testing.assert_allclose(np.asarray(sd), np.sort(D, 1),
+                               rtol=1e-5, atol=1e-6)
+    r2 = np.zeros((5000, 5), np.float32)
+    r2[:200] = q[0] + 1e-6             # 200 near-identical points
+    D2 = ((q[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+    si2, sd2 = topk_knn(q, r2, 100, method="seeded")
+    np.testing.assert_allclose(np.asarray(sd2), np.sort(D2, 1)[:, :100],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :100])
+
+
+def test_solve_cells_integer_quadratic_and_certificate():
+    """Regression for the XLA:TPU approximate-sqrt trap (CLAUDE.md):
+    sqrt(9025) measured one ulp above 95.0 on TPU, so the deflation
+    quadratic's truncating cast shifted lane 11 to 10 (the K=512
+    differential caught one lost candidate in 524288 —
+    scripts/r6_rounds_debug*.py). quad_lanes must treat the float sqrt
+    as a seed: round, verify d*d == disc in int32, and halve in
+    integers. This case is the exact offending cell (lanes 11/106/127);
+    the corrupt-moment case must flip the new certificate instead of
+    silently mis-recovering."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_knn.kernels.topk import _solve_cells
+
+    solve = jax.jit(lambda *a: _solve_cells(
+        *a, cell=128, n=1 << 20, solvable=3))
+    cellc = jnp.array([[6419]], jnp.int32)
+    valid = jnp.array([[True]])
+    c_cnt = jnp.array([[3]], jnp.int32)
+    cols, ok = solve(cellc, valid, c_cnt,
+                     jnp.array([[244]], jnp.int32),      # 11+106+127
+                     jnp.array([[27486]], jnp.int32),    # sum l^2
+                     jnp.array([[3240730]], jnp.int32))  # sum l^3
+    assert bool(ok)
+    assert sorted(np.asarray(cols)[0].tolist()) == [
+        6419 * 128 + 11, 6419 * 128 + 106, 6419 * 128 + 127]
+    # corrupt p2 (disc no longer a perfect square): certificate trips
+    _cols2, ok2 = solve(cellc, valid, c_cnt,
+                        jnp.array([[244]], jnp.int32),
+                        jnp.array([[27487]], jnp.int32),
+                        jnp.array([[3240730]], jnp.int32))
+    assert not bool(ok2)
 
 
 def test_seeded_engine_row_chunking_beyond_2048():

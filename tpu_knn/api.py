@@ -55,14 +55,15 @@ def nearest_neighbors(search, ref, version: str | None = None,
             raise ValueError(
                 "neighbors>1 uses the banded top-K pipeline; it cannot be "
                 "combined with an explicit 1-NN version")
-        from tpu_knn.kernels.topk import MAX_NEIGHBORS, topk_knn
+        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, topk_knn
 
         # Validate BEFORE the empty-batch early return so the contract is
         # consistent across m (ADVICE r2: K=0 silently succeeded at m=0).
-        if not (1 <= neighbors <= min(n, MAX_NEIGHBORS)):
+        if not (1 <= neighbors <= min(n, PASSES_MAX_NEIGHBORS)):
             raise ValueError(
-                f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})] = "
-                f"[1, {min(n, MAX_NEIGHBORS)}], got {neighbors}")
+                f"neighbors must be in [1, min(n, "
+                f"{PASSES_MAX_NEIGHBORS})] = "
+                f"[1, {min(n, PASSES_MAX_NEIGHBORS)}], got {neighbors}")
         if m == 0:
             return np.empty((0, neighbors), np.int32)
 

@@ -15,7 +15,7 @@ Three engines, differentially tested against each other:
   seeded at (B, I32_MAX), making the guard reject almost every tile;
   ~2 reference reads, near-K-independent); larger m runs the single MXU
   sweep (one read; insertion amortized across tile_m query rows).
-- "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 64): the
+- "seeded" (the batch regime, m*K > SWEEP_AUTO_BUDGET, K <= 512): the
   round-3 MOMENT-EXTRACTION engine. A 1-NN pre-pass bounds each row's
   global K-th score; one thresholded scan then emits exact integer
   moments (cnt, sum(l), sum(l^2)) per (row, 128/256-lane cell) of the
@@ -25,8 +25,9 @@ Three engines, differentially tested against each other:
   (perfect-square discriminant); candidates are compacted with
   lax.top_k and sorted by exact (d2, index). Dense adversarial cells
   (>= 3 qualifiers) are certified detectable and lax.cond-fall back to
-  "passes". ~2 reference reads at ANY K <= 64 (cubic moment recovery
-  past K=16, 128-lane cells + part-split compaction past K=32);
+  "passes". ~2 reference reads per 64 results at ANY K (cubic moment
+  recovery past K=16, 128-lane cells + part-split compaction past
+  K=32, half-open score-band ROUNDS past K=64 — _build_seeded_rounds);
   selection is by EXACT
   distance over a certified superset of the approx-score top-K —
   strictly tighter conditioning than the score-selected engines.
@@ -84,18 +85,27 @@ PASSES_MAX_NEIGHBORS = 512
 #: chunk; past this the K-pass engine's linear cost is the better trade.
 SWEEP_MAX_NEIGHBORS = 32
 
-#: Largest K the bound-seeded extraction engine serves. K <= 32 uses
-#: 256-lane cells (quadratic recovery to 16, cubic beyond); 32 < K <= 64
-#: drops to 128-lane cells so <= 3 qualifiers per cell stays typical
+#: Largest K one extraction ROUND serves. K <= 32 uses 256-lane cells
+#: (quadratic recovery to 16, cubic beyond); 32 < K <= 64 drops to
+#: 128-lane cells so <= 3 qualifiers per cell stays typical
 #: (cubic-solvable) and compacts with a 4-way part split that keeps
 #: every lax.top_k under the XLA:TPU ~48-slot cost cliff (measured
 #: 20.9/20.8 ms at m=1024/n=2^20 for K=48/K=64 vs the passes
 #: engine's 136/180 — scripts/r6_probe_k64{b,c,d}.py). Past 64 the
-#: pass-1
-#: bound (K-th of 128 per-lane minima) goes too loose — at K=128 it
-#: admits ~1373 qualifiers/row and 5-deep cells (not cubic-solvable;
-#: r6_probe_k64) — so the banded passes engine takes over.
-SEEDED_MAX_NEIGHBORS = 64
+#: single-round pass-1 bound (K-th of 128 per-lane minima) goes too
+#: loose — at K=128 it admits ~1373 qualifiers/row and 5-deep cells
+#: (not cubic-solvable; r6_probe_k64) — so K > 64 runs ceil(K/64)
+#: ROUNDS: round r owns the half-open SCORE band (B_{r-1}, B_r] (a
+#: partition of the reference by the kernel's own scores — nothing
+#: lost or double-counted), each band bounded by its own banded 1-NN
+#: pre-pass, so qualifier density per round stays at the K=64 level
+#: at ANY K. ~2 reference reads per 64 results vs the passes engine's
+#: one read PER result.
+SEEDED_ROUND_K = 64
+
+#: Largest K the seeded engine serves (multi-round); the banded passes
+#: engine remains the certified fallback at every K.
+SEEDED_MAX_NEIGHBORS = PASSES_MAX_NEIGHBORS
 
 #: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
 #: insertion fold costs ~K compare-exchanges per score element over
@@ -425,9 +435,10 @@ def _moment_weights(tile_n: int, cell: int,
     return w.astype(jnp.bfloat16)
 
 
-def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
+def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
                            n: int, n_pad: int, tile_m: int, tile_n: int,
-                           cell: int, n_fields: int, precision: str):
+                           cell: int, n_fields: int, precision: str,
+                           banded: bool = False):
     """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
     engine (VERDICT r2 item 1), fourth design iteration.
 
@@ -461,6 +472,10 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
     — half a 128-deep score pass of extra MXU work — and the VPU hot
     loop drops to compare + select.
     """
+    if banded:
+        lo_ref, w_ref, out_ref = rest
+    else:
+        w_ref, out_ref = rest
     j = pl.program_id(1)
     s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
     # Mask whenever the OPERAND is wider than n — not just when n is
@@ -475,6 +490,12 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
         qual = (s <= bs_ref[:]) & (col < n)
     else:
         qual = s <= bs_ref[:]
+    if banded:
+        # Multi-round engine (K > SEEDED_ROUND_K): this round owns the
+        # half-open SCORE band (lo, bound] — a partition of the
+        # reference by the kernel's own scores, so no element is lost
+        # or double-counted across rounds.
+        qual = qual & (s > lo_ref[:])
     mask = jnp.where(qual, 1.0, 0.0).astype(jnp.bfloat16)
     mo = jax.lax.dot_general(
         mask, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -506,11 +527,14 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, w_ref, out_ref, *,
 @functools.lru_cache(maxsize=None)
 def _build_extract_candidates(m: int, n: int, k: int,
                               tile_m: int, tile_n: int, precision: str,
-                              n_ops: int | None = None, kk: int = 16):
-    """(search (m,k), SoA ref ops, bound (m,1)) -> (cnt i32, suml f32,
-    sumsq f32) moment arrays of shape (m, n_ops // cell) — see
+                              n_ops: int | None = None, kk: int = 16,
+                              banded: bool = False):
+    """(search (m,k), SoA ref ops, bound (m,1)[, lo (m,1)]) -> (cnt i32,
+    suml f32, sumsq f32) moment arrays of shape (m, n_ops // cell) — see
     _extract_moment_kernel. The cell lane width is exposed as the
-    returned callable's `.cell`."""
+    returned callable's `.cell`. With ``banded=True`` the callable takes
+    a fourth argument lo (m, 1) and counts the half-open score band
+    (lo, bound] — the multi-round engine's per-round partition."""
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
     k_pad = round_up(k, 8)
@@ -539,18 +563,21 @@ def _build_extract_candidates(m: int, n: int, k: int,
         out_w = -(-n_tiles // g) * 128
         out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
                                 memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         functools.partial(_extract_moment_kernel, n=n, n_pad=n_pad,
                           tile_m=tile_m, tile_n=tile_n, cell=cell,
-                          n_fields=n_fields, precision=precision),
+                          n_fields=n_fields, precision=precision,
+                          banded=banded),
         grid=(m_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            scalar_spec,
+        ] + ([scalar_spec] if banded else []) + [
             pl.BlockSpec(w.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -568,8 +595,12 @@ def _build_extract_candidates(m: int, n: int, k: int,
     def prep_soa(ref):
         return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
 
-    def moments(search, ref_ops, bound_s):
-        """bound_s (m, 1) f32; rows beyond m get -inf (no qualifiers)."""
+    def moments(search, ref_ops, bound_s, lo_s=None):
+        """bound_s (m, 1) f32; rows beyond m get -inf (no qualifiers).
+        lo_s (m, 1) f32, required iff built with banded=True: the
+        round's exclusive lower score band."""
+        if (lo_s is None) == banded:
+            raise ValueError("lo_s must be passed iff banded=True")
         (r_op,) = ref_ops
         if r_op.shape != (k_pad, n_pad):
             raise ValueError(
@@ -577,7 +608,12 @@ def _build_extract_candidates(m: int, n: int, k: int,
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
                      constant_values=-jnp.inf)
-        (mo,) = call(q, r_op, bs, jnp.asarray(w))
+        if banded:
+            lo = jnp.pad(lo_s, ((0, m_pad - m), (0, 0)),
+                         constant_values=jnp.inf)
+            (mo,) = call(q, r_op, bs, lo, jnp.asarray(w))
+        else:
+            (mo,) = call(q, r_op, bs, jnp.asarray(w))
         # Drop the never-written ragged tail columns, split the fields.
         x = mo[:m, :nc * n_fields].reshape(m, nc, n_fields)
         cnt = x[:, :, 0].astype(jnp.int32)
@@ -758,6 +794,284 @@ def _lex_min(idx, score):
     return jnp.min(tie, axis=-1), jnp.squeeze(v, -1)
 
 
+def _solve_cells(cellc, valid, c_cnt, e1, p2, p3, *, cell: int, n: int,
+                 solvable: int):
+    """Exact lane-id recovery for compacted cells: integer power sums
+    (e1 = sum(l), p2 = sum(l^2)[, p3 = sum(l^3)]) of each cell's <=
+    `solvable` qualifying lane ids -> candidate GLOBAL columns
+    (m, solvable * cap), sentinel n in empty slots, plus a recovery
+    certificate (the cubic Newton exactness bit; quadratic recovery is
+    unconditionally exact). Shared by the seeded engine's single-round
+    and multi-round forms; exactness arguments: _newton_max_root and
+    docs/PERF_NOTES.md "Round-3" items 3/5."""
+    base = cellc * cell
+
+    def quad_lanes(p1, sq):
+        """Integer quadratic recovery: the two lanes with sum p1 and
+        square-sum sq are (p1 -+ d)/2 where d^2 = 2*sq - p1^2 is a
+        PERFECT SQUARE for any legal cell (cnt == 2: (l1-l2)^2;
+        cnt == 1: the pair degenerates to (0, l) and d^2 = l^2).
+
+        XLA:TPU's f32 sqrt is APPROXIMATE (observed: sqrt(9025) one
+        ulp above 95.0 — caught by the round-3 K=512 differential,
+        scripts/r6_rounds_debug*.py), so a truncating cast silently
+        shifts a lane by one. The sqrt is only a SEED here: round to
+        the nearest integer, verify d*d == disc in int32 (the
+        quadratic's own exactness certificate, joining the cubic
+        Newton's), and do the halving in integers."""
+        disc = jnp.maximum(2 * sq - p1 * p1, 0)
+        d = jnp.round(
+            jnp.sqrt(disc.astype(jnp.float32))).astype(jnp.int32)
+        ok = d * d == disc
+        return (p1 - d) // 2, (p1 + d) // 2, ok
+
+    if solvable == 2:
+        l1, l2, q_ok = quad_lanes(e1, p2)
+        rec_ok = jnp.all(q_ok | ~valid)
+        col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
+        col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
+        return jnp.concatenate([col2, col1], axis=1), rec_ok
+    # Cubic recovery: Newton's identities give the elementary symmetric
+    # functions int32-exactly; integer Newton finds the largest root
+    # (with an exactness certificate), deflation hands the remaining two
+    # lanes to the integer quadratic path.
+    e2 = (e1 * e1 - p2) // 2
+    e3 = (e1 * e1 * e1 - 3 * e1 * p2 + 2 * p3) // 6
+    r3, exact = _newton_max_root(e1, e2, e3)
+    l1, l2, q_ok = quad_lanes(e1 - r3, p2 - r3 * r3)
+    rec_ok = jnp.all((exact & q_ok) | ~valid)
+    colA = jnp.where(valid & (c_cnt >= 1), base + r3, n)
+    colB = jnp.where(valid & (c_cnt >= 2), base + l2, n)
+    colC = jnp.where(valid & (c_cnt >= 3), base + l1, n)
+    return jnp.concatenate([colA, colB, colC], axis=1), rec_ok
+
+
+def _exact_rerank(search, ref_aos, cols, kk: int, n: int):
+    """Gather candidate reference rows, compute EXACT diff-form d2, and
+    lex-sort (d2, index) -> ((m, kk) idx with -1 sentinels, (m, kk) d2).
+    Selection by exact distance over a certified score superset — the
+    seeded engine's conditioning contract."""
+    if cols.shape[1] < kk:
+        # Tiny n: fewer candidate slots than K — widen with sentinels so
+        # the output shape honors the contract; certification (>= K
+        # recovered) then routes such shapes to fallback.
+        cols = jnp.pad(cols, ((0, 0), (0, kk - cols.shape[1])),
+                       constant_values=n)
+    in_range = cols < n
+    safe = jnp.where(in_range, cols, 0)
+    pts = jnp.take(ref_aos, safe.reshape(-1), axis=0)
+    pts = pts.reshape(cols.shape[0], -1, ref_aos.shape[1])
+    diff = search[:, None, :] - pts
+    d2 = jnp.where(in_range, jnp.sum(diff * diff, axis=-1), jnp.inf)
+    ci = jnp.where(in_range, cols, _I32_MAX)
+    d2s, cis = jax.lax.sort((d2, ci), dimension=-1, num_keys=2)
+    idx_k = cis[:, :kk]
+    idx_k = jnp.where(idx_k < n, idx_k, -1)
+    return idx_k, d2s[:, :kk]
+
+
+def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
+                         precision: str):
+    """Multi-round seeded engine: SEEDED_ROUND_K < K <=
+    SEEDED_MAX_NEIGHBORS at ~2 reference reads per 64 results.
+
+    Round r owns the half-open SCORE band (B_{r-1}, B_r]: a banded 1-NN
+    pre-pass over {score > B_{r-1}} yields per-lane minima whose
+    needed_r-th smallest upper-bounds the round's needed_r-th remaining
+    score; the banded extraction kernel then counts/moments exactly the
+    band's qualifiers (same 128-lane-cell cubic geometry as K=64). The
+    bands partition the reference by the kernel's own scores, so across
+    rounds nothing is lost or double-counted, and the certificate needs
+    NO pass1-vs-extraction score agreement: once the accumulated
+    per-round recovered counts reach K, the set {score <= B_R} has >= K
+    elements, every one of them is a recovered candidate, and the final
+    EXACT-distance rerank over the concatenated columns selects at
+    oracle conditioning — identical contract to the single-round form.
+    Any failure (dense cell, cap overflow, inexact Newton root, short
+    count) routes the whole call to the banded passes engine.
+
+    vs the passes engine (one full reference read PER result) this is
+    ceil(K/64) * ~2 reads: measured numbers in docs/PERF_NOTES.md
+    "Round-3" item 8."""
+    tile_m = min(256, round_up(m, 8))
+    t = 128
+    while t * 2 <= min(4096, n_ops) and n_ops % (t * 2) == 0:
+        t *= 2
+    extract = _build_extract_candidates(m, n, k, tile_m, t, precision,
+                                        n_ops=n_ops, kk=SEEDED_ROUND_K,
+                                        banded=True)
+    p1_tile_m, p1_tile_n = pick_tiles(k, m, n,
+                                      wide=precision == "packed")
+    p1_tile_n = min(p1_tile_n, n_ops)
+    while n_ops % p1_tile_n != 0:
+        p1_tile_n -= 128
+    pass1 = _build_banded_candidates(m, n, k, p1_tile_m, p1_tile_n,
+                                     precision, n_ops=n_ops)
+    fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
+    cell = extract.cell
+    solvable = extract.solvable        # 3: the K=64 cubic geometry
+    nc = n_ops // cell
+    cap_full = min(nc, 2 * SEEDED_ROUND_K + 16)
+    nparts = 4
+    while nc % nparts != 0:
+        nparts //= 2
+    pw = nc // nparts
+    cap_fast = min(48, pw)
+    packed = pw <= 4096
+    # Unified per-round candidate width: the fast tier compacts
+    # nparts * cap_fast cells, the escalation tier cap_full; both pad
+    # their recovered columns so the per-round lax.cond has one output
+    # shape and the final rerank width is capacity-independent.
+    width = solvable * max(nparts * cap_fast, cap_full)
+    rounds = -(-kk // SEEDED_ROUND_K)
+
+    def one_round(search, r_ops, lo, b_i, needed):
+        _i1, cs1 = pass1(search, r_ops, lo, b_i)
+        bound = jax.lax.sort(cs1, dimension=-1)[:, needed - 1:needed]
+        # Inflated exactly as in the single-round engine: a looser
+        # bound is always safe, and NaN bounds flood the counts into
+        # the certified fallback.
+        bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
+        bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+        bound = jnp.maximum(bound, lo)
+        moms = extract(search, r_ops, bound, lo)
+        cnt, suml, sumsq, sumcu = moms
+        qual = cnt > 0
+        counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
+
+        def pad_cols(cols):
+            return jnp.pad(cols, ((0, 0), (0, width - cols.shape[1])),
+                           constant_values=n)
+
+        def fast(_):
+            # The measured K=64 fast tier: 3-key payload-packed
+            # part-split compaction (layouts mirror the single-round
+            # engine's cell=128 cubic branch).
+            r_iota = (jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
+                      % pw)
+            head = jnp.where(qual,
+                             (1 << 30) | ((pw - 1 - r_iota) << 18), 0)
+            suml_i = suml.astype(jnp.int32)
+            sumsq_i = sumsq.astype(jnp.int32)
+            keys = [head | jnp.where(
+                        qual,
+                        ((sumcu >> 17) << 12) | (suml_i << 3)
+                        | jnp.minimum(cnt, 7), 0),
+                    head | jnp.where(
+                        qual, (((sumcu >> 15) & 3) << 16) | sumsq_i, 0),
+                    head | jnp.where(qual, sumcu & 0x7FFF, 0)]
+
+            def compact(kq):
+                ps = [jax.lax.top_k(kq[:, p * pw:(p + 1) * pw],
+                                    cap_fast)[0]
+                      for p in range(nparts)]
+                return (ps[0] if nparts == 1
+                        else jnp.concatenate(ps, axis=1))
+
+            outs = [compact(kq) for kq in keys]
+            a = outs[0]
+            valid = a >= (1 << 30)
+            local = pw - 1 - ((a >> 18) & 0xFFF)
+            if nparts > 1:
+                off = jnp.concatenate(
+                    [jnp.full((m, cap_fast), p * pw, jnp.int32)
+                     for p in range(nparts)], axis=1)
+            else:
+                off = 0
+            cellc = jnp.where(valid, local + off, 0)
+            c_cnt = a & 7
+            e1 = (a >> 3) & 0x1FF
+            p2 = outs[1] & 0xFFFF
+            p3 = ((((a >> 12) & 0x3F) << 17)
+                  | (((outs[1] >> 16) & 3) << 15) | (outs[2] & 0x7FFF))
+            cols, rec_ok = _solve_cells(cellc, valid, c_cnt, e1, p2, p3,
+                                        cell=cell, n=n,
+                                        solvable=solvable)
+            return pad_cols(cols), rec_ok
+
+        def gather_tier(cap_i, parts_i):
+            # Position-gather compaction (the any-nc mode): one rank
+            # key per part, take_along_axis moment pickup.
+            pw_i = nc // parts_i
+            cap_e = min(cap_i, pw_i)
+            r_loc = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
+            if parts_i > 1:
+                r_loc = r_loc % pw_i
+            key = jnp.where(qual, pw_i - r_loc, 0)
+            ps = [jax.lax.top_k(key[:, p * pw_i:(p + 1) * pw_i],
+                                cap_e)[0]
+                  for p in range(parts_i)]
+            vals = (ps[0] if parts_i == 1
+                    else jnp.concatenate(ps, axis=1))
+            valid = vals > 0
+            if parts_i > 1:
+                off = jnp.concatenate(
+                    [jnp.full((m, cap_e), p * pw_i, jnp.int32)
+                     for p in range(parts_i)], axis=1)
+            else:
+                off = 0
+            cellc = jnp.where(valid, pw_i - vals + off, 0)
+            take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
+            c_cnt = jnp.where(valid, take(cnt), 0)
+            e1 = take(suml).astype(jnp.int32)
+            p2 = take(sumsq).astype(jnp.int32)
+            p3 = take(sumcu)
+            cols, rec_ok = _solve_cells(cellc, valid, c_cnt, e1, p2, p3,
+                                        cell=cell, n=n,
+                                        solvable=solvable)
+            return pad_cols(cols), rec_ok
+
+        def escalate(_):
+            cols, rec_ok = gather_tier(cap_full, 1)
+            qual_rows = jnp.sum(qual, axis=1)
+            return cols, rec_ok & jnp.all(qual_rows <= cap_full)
+
+        if nparts > 1:
+            part_q = jnp.sum(qual.reshape(m, nparts, pw), axis=2)
+            fast_fits = jnp.all(part_q <= cap_fast)
+        else:
+            fast_fits = jnp.all(jnp.sum(qual, axis=1) <= cap_fast)
+        tier1 = (fast if packed
+                 else (lambda _: gather_tier(cap_fast, nparts)))
+        cols_r, ok_r = jax.lax.cond(fast_fits, tier1, escalate, None)
+        cert_r = (jnp.max(cnt) <= solvable) & ok_r
+        return cols_r, cert_r, counted, bound
+
+    @jax.jit
+    def run(search, r_ops, ref_aos):
+        lo = jnp.full((m, 1), -jnp.inf, jnp.float32)
+        b_i_first = jnp.full((m, 1), -1, jnp.int32)
+        # Later rounds band STRICTLY above the previous bound: lex
+        # (score, idx) > (B, I32_MAX) <=> score > B, matching the
+        # extraction partition's half-open intervals.
+        b_i_strict = jnp.full((m, 1), _I32_MAX, jnp.int32)
+        cols_all = []
+        cert = jnp.bool_(True)
+        counted = jnp.zeros((m,), jnp.int32)
+        remaining = kk
+        for r in range(rounds):
+            needed = min(SEEDED_ROUND_K, remaining)
+            cols_r, cert_r, counted_r, bound = one_round(
+                search, r_ops, lo,
+                b_i_first if r == 0 else b_i_strict, needed)
+            cols_all.append(cols_r)
+            cert &= cert_r
+            counted += counted_r
+            lo = bound
+            remaining -= needed
+        cert &= jnp.all(counted >= kk)
+        cols = jnp.concatenate(cols_all, axis=1)
+        idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
+
+        def fallback(_):
+            return fallback_run(search, r_ops, ref_aos)
+
+        return jax.lax.cond(cert, lambda _: (idx_k, d2_k), fallback,
+                            None)
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 precision: str, method: str = "auto"):
@@ -841,6 +1155,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                         jnp.concatenate([o[1] for o in outs]))
 
             return run_chunked
+        if kk > SEEDED_ROUND_K:
+            return _build_seeded_rounds(m, n, k, kk, n_ops, precision)
         # Measured geometry (v5e tile sweeps, PERF_NOTES "Round-3"):
         # for the 4-field MXU-moment kernel 256x8192 is fastest (3.60 ms
         # at ds11 scale; 128x8192 3.80, 128x4096 4.24) and VMEM-safe —
@@ -1042,85 +1358,15 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                     p2 = take(moms[2]).astype(jnp.int32)
                     if solvable == 3:
                         p3 = take(moms[3])
-                base = cellc * cell
-                if solvable == 2:
-                    # cnt == 2: l1 + l2 = e1 and (l1-l2)^2 = 2*p2 - e1^2,
-                    # a perfect square (exact f32 sqrt) -> both lane ids
-                    # exact. cnt == 1: the quadratic degenerates to
-                    # (0, l); only l2 is real. Lanes -> global columns
-                    # via the base.
-                    c_s = e1.astype(jnp.float32)
-                    c_q = p2.astype(jnp.float32)
-                    d = jnp.sqrt(jnp.maximum(2.0 * c_q - c_s * c_s, 0.0))
-                    l1 = ((c_s - d) * 0.5).astype(jnp.int32)
-                    l2 = ((c_s + d) * 0.5).astype(jnp.int32)
-                    col2 = jnp.where(valid & (c_cnt >= 1), base + l2, n)
-                    col1 = jnp.where(valid & (c_cnt >= 2), base + l1, n)
-                    cols = jnp.concatenate([col2, col1], axis=1)
-                    rec_ok = jnp.bool_(True)
-                else:
-                    # Cubic recovery (K > 16): power sums p1..p3 of the
-                    # <= 3 qualifying lane ids give elementary symmetric
-                    # functions via Newton's identities — ALL int32-exact
-                    # (p1 <= 765, p1^3 <= 4.5e8 < 2^31; 2e2 = p1^2 - p2
-                    # and 6e3 = p1^3 - 3 p1 p2 + 2 p3 are exact even
-                    # divisions). The monic cubic x^3 - e1 x^2 + e2 x -
-                    # e3 then has roots = the real lanes PLUS phantom
-                    # zeros (a lane id 0 contributes nothing to any power
-                    # sum, so cnt < 3 behaves as if padded with zeros).
-                    # The LARGEST root comes from integer Newton
-                    # (_newton_max_root; an exhaustive-Horner scan over
-                    # the cell's lane ids measured the same speed but
-                    # materializes an (m, cap, cell) tensor and has no
-                    # convergence certificate); DEFLATING it from p1/p2
-                    # leaves the two smaller lanes to the quadratic
-                    # path's exact perfect-square recovery. cnt >= 1
-                    # guarantees a real root, and the max root is real
-                    # (every phantom zero root ranks below any real lane;
-                    # it equals the real entry only when lane 0 alone
-                    # qualifies).
-                    e2 = (e1 * e1 - p2) // 2
-                    e3 = (e1 * e1 * e1 - 3 * e1 * p2 + 2 * p3) // 6
-                    r3, exact = _newton_max_root(e1, e2, e3)
-                    rec_ok = jnp.all(exact | ~valid)
-                    p1d = e1 - r3                # deflated power sums:
-                    p2d = p2 - r3 * r3           # the two remaining lanes
-                    disc = jnp.maximum(2 * p2d - p1d * p1d, 0)
-                    d = jnp.sqrt(disc.astype(jnp.float32))
-                    p1f_ = p1d.astype(jnp.float32)
-                    l2 = ((p1f_ + d) * 0.5).astype(jnp.int32)
-                    l1 = ((p1f_ - d) * 0.5).astype(jnp.int32)
-                    colA = jnp.where(valid & (c_cnt >= 1), base + r3, n)
-                    colB = jnp.where(valid & (c_cnt >= 2), base + l2, n)
-                    colC = jnp.where(valid & (c_cnt >= 3), base + l1, n)
-                    cols = jnp.concatenate([colA, colB, colC], axis=1)
-                if cols.shape[1] < kk:
-                    # Tiny n: fewer cells than K/2 — widen with sentinels
-                    # so the output shape honors the contract;
-                    # certification (>= K recovered) then routes such
-                    # shapes to fallback.
-                    cols = jnp.pad(cols,
-                                   ((0, 0), (0, kk - cols.shape[1])),
-                                   constant_values=n)
-                # Exact diff-form distances + (d2, index) sort —
-                # selection here is by EXACT distance over the certified
-                # superset (score <= B covers the approx-score top-K), so
-                # this engine's output is at oracle conditioning;
-                # sentinels (col == n) sort to the end as (+inf,
-                # I32_MAX).
-                in_range = cols < n
-                safe = jnp.where(in_range, cols, 0)
-                pts = jnp.take(ref_aos, safe.reshape(-1), axis=0)
-                pts = pts.reshape(m, -1, ref_aos.shape[1])
-                diff = search[:, None, :] - pts
-                d2 = jnp.where(in_range, jnp.sum(diff * diff, axis=-1),
-                               jnp.inf)
-                ci = jnp.where(in_range, cols, _I32_MAX)
-                d2s, cis = jax.lax.sort((d2, ci), dimension=-1,
-                                        num_keys=2)
-                idx_k = cis[:, :kk]
-                d2_k = d2s[:, :kk]
-                idx_k = jnp.where(idx_k < n, idx_k, -1)
+                # Exact lane recovery (quadratic perfect-square at
+                # K <= 16, cubic Newton + deflation beyond) and the
+                # exact-distance rerank — shared helpers with the
+                # multi-round form.
+                cols, rec_ok = _solve_cells(
+                    cellc, valid, c_cnt, e1, p2,
+                    p3 if solvable == 3 else None,
+                    cell=cell, n=n, solvable=solvable)
+                idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
                 return idx_k, d2_k, rec_ok
 
             # Certification: every qualifier was recovered iff no cell
@@ -1343,11 +1589,11 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
     the engine: "aos" (zero-prep XLA scan, m <= 4 and K <= 128 — the
     per-call default in that regime), "sweep" (one reference read,
     K <= SWEEP_MAX_NEIGHBORS), "passes" (K banded reads,
-    K <= PASSES_MAX_NEIGHBORS), "seeded" (the batch extraction engine),
-    or "auto" (K <= MAX_NEIGHBORS picks the measured winner; larger K —
-    up to PASSES_MAX_NEIGHBORS — is served by the passes engine at
-    K-scan cost, the completeness escape hatch radius queries escalate
-    into).
+    K <= PASSES_MAX_NEIGHBORS), "seeded" (the extraction engine —
+    single-round to K = 64, score-band ROUNDS at ~2 reads per 64
+    results beyond, to K <= PASSES_MAX_NEIGHBORS), or "auto" (the
+    measured winner; the passes engine remains every tier's certified
+    fallback and the radius-escalation workhorse).
     """
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
@@ -1360,13 +1606,11 @@ def topk_knn(search, ref, neighbors: int, method: str = "auto"):
     if method == "sweep" and neighbors > SWEEP_MAX_NEIGHBORS:
         raise ValueError(
             f"sweep engine serves K <= {SWEEP_MAX_NEIGHBORS}, got {neighbors}")
-    if method != "passes" and neighbors > MAX_NEIGHBORS:
-        if method == "auto":
-            method = "passes"
-        else:
-            raise ValueError(
-                f"K > {MAX_NEIGHBORS} requires method='passes', got "
-                f"{method!r} with K={neighbors}")
+    if (method not in ("passes", "seeded", "auto")
+            and neighbors > MAX_NEIGHBORS):
+        raise ValueError(
+            f"K > {MAX_NEIGHBORS} requires method='seeded' or 'passes', "
+            f"got {method!r} with K={neighbors}")
     return _build_topk_percall(m, n, k, neighbors,
                                auto_precision(k, n), method)(search, ref)
 
