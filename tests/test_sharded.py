@@ -198,6 +198,28 @@ def test_sharded_topk_batch_regime_routes_seeded_per_shard():
     assert list(np.asarray(idx)[11, :4]) == [5, 17, 29, 41]
 
 
+def test_sharded_topk_k_beyond_128():
+    """The per-call cap follows the single-chip ladder to
+    PASSES_MAX_NEIGHBORS: K > 64 runs the multi-round engine PER SHARD
+    and merges exactly; a K wider than the per-shard width raises the
+    named error instead of mis-building."""
+    import pytest
+
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+
+    rng = np.random.default_rng(23)
+    m, n, kk = 12, 8192, 160
+    q = rng.random((m, 5), np.float32)
+    r = rng.random((n, 5), np.float32) + 2.0
+    r[100] = r[5 * 1024 + 9] = q[3]     # duplicates straddling shards
+    idx, d2 = sharded_topk_knn(q, r, kk, mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx), oracle_topk(q, r, kk))
+    assert list(np.asarray(idx)[3, :2]) == [100, 5 * 1024 + 9]
+    with pytest.raises(ValueError, match="per-shard reference width"):
+        sharded_topk_knn(q, rng.random((1024, 5), np.float32), 512,
+                         mesh=default_mesh(dp=1, sp=8))
+
+
 def test_sharded_topk_duplicates_across_shards():
     """Exact duplicates planted in different sp shards must come back
     ordered by global index — the K-deep analog of the 1-NN

@@ -200,6 +200,12 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     elif n_local * num_shards < n or n_local % 128 != 0:
         raise ValueError(f"prepared n_local={n_local} incompatible with "
                          f"n={n} over {num_shards} shards")
+    if kk > n_local:
+        raise ValueError(
+            f"neighbors={kk} exceeds the per-shard reference width "
+            f"{n_local} (n={n} over {num_shards} shards); every shard "
+            "must be able to hold a full local top-K list — use fewer "
+            "shards or the single-chip engine")
     n_pad = n_local * num_shards
     k_pad = round_up(k, 8)
     # The LOCAL valid count is n_local everywhere: trailing-shard padding
@@ -260,16 +266,16 @@ def sharded_topk_knn(search, ref, neighbors: int, *,
     over the v8-style reference sharding). Returns (idx (m, K) i32,
     d2 (m, K) f32) device arrays, rows ascending by exact (d2, index).
     `method` picks the per-shard engine ("sweep"/"passes"/"auto")."""
-    from tpu_knn.kernels.topk import MAX_NEIGHBORS
+    from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS
 
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape
     n = ref.shape[0]
-    if not (1 <= neighbors <= min(n, MAX_NEIGHBORS)):
+    if not (1 <= neighbors <= min(n, PASSES_MAX_NEIGHBORS)):
         raise ValueError(
-            f"neighbors must be in [1, min(n, {MAX_NEIGHBORS})] = "
-            f"[1, {min(n, MAX_NEIGHBORS)}], got {neighbors}")
+            f"neighbors must be in [1, min(n, {PASSES_MAX_NEIGHBORS})] "
+            f"= [1, {min(n, PASSES_MAX_NEIGHBORS)}], got {neighbors}")
     if mesh is None:
         mesh = default_mesh()
     run = _build_sharded_topk(m, n, k, neighbors, mesh, method)
