@@ -38,6 +38,23 @@ def test_fused_index_reuses_prepared_layout():
     np.testing.assert_array_equal(np.asarray(i2), oracle(q2, ref))
 
 
+def test_index_topk_beyond_64_multi_round():
+    """NNIndex.query(neighbors>64) rides the multi-round seeded engine
+    off the prepared operand (and the native tree path at kdtree) —
+    exact vs the oracle with a planted duplicate pair."""
+    rng = np.random.default_rng(41)
+    ref = rng.random((20_000, 6), np.float32)
+    q = rng.random((12, 6), np.float32)
+    ref[17] = ref[9_001] = q[3]
+    D = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    gold = np.argsort(D, 1, kind="stable")[:, :100]
+    for strategy in ("fused", "kdtree"):
+        ix = NNIndex(ref, strategy=strategy)
+        gi, gd = ix.query(q, neighbors=100)
+        np.testing.assert_array_equal(np.asarray(gi), gold)
+        assert list(np.asarray(gi)[3, :2]) == [17, 9_001]
+
+
 def test_kdtree_index_high_k_uses_cpu_query():
     rng = np.random.default_rng(2)
     ref = rng.random((3_000, 12), np.float32)  # k=12 > 8 -> CPU query
