@@ -510,6 +510,51 @@ def test_solve_cells_integer_quadratic_and_certificate():
     assert not bool(ok2)
 
 
+def test_cell_compactor_positional_differential():
+    """The Pallas positional compactor (prefix count + slot scatter,
+    r7) vs a NumPy reference: random qualifier patterns — including
+    overflow rows past cap, all-empty rows, part splits, ragged m, and
+    the multi-width-chunk path (pw > max_cw) — must land every part's
+    qualifiers in its first cap slots in ascending cell order, with
+    zeros beyond (field 0 != 0 is the validity contract)."""
+    import jax.numpy as jnp
+
+    from tpu_knn.kernels.topk import _build_cell_compactor
+
+    rng = np.random.default_rng(77)
+    for m, nc, parts, cap, nf, dens in [
+            (16, 512, 1, 8, 1, 0.02),
+            (16, 512, 1, 8, 2, 0.08),       # overflow rows
+            (12, 1024, 4, 8, 2, 0.02),      # parts, ragged m
+            (8, 8192, 1, 48, 2, 0.004),     # w_tiles > 1
+            (16, 512, 1, 8, 2, 0.0)]:       # all-empty
+        qual = rng.random((m, nc)) < dens
+        fields = [
+            np.where(qual, rng.integers(1, 1 << 30, (m, nc)), 0)
+            .astype(np.int32)]
+        for _ in range(nf - 1):
+            fields.append(
+                np.where(qual, rng.integers(0, 1 << 26, (m, nc)), 0)
+                .astype(np.int32))
+        comp = _build_cell_compactor(m, nc, parts, cap, nf)
+        got = [np.asarray(o) for o in comp(*map(jnp.asarray, fields))]
+        pw = nc // parts
+        want = [np.zeros((m, parts * cap), np.int32)
+                for _ in range(nf + 1)]
+        for r in range(m):
+            for p in range(parts):
+                s = 0
+                for c in range(pw):
+                    if fields[0][r, p * pw + c] and s < cap:
+                        want[0][r, p * cap + s] = c
+                        for f in range(nf):
+                            want[f + 1][r, p * cap + s] = (
+                                fields[f][r, p * pw + c])
+                        s += 1
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+
 def test_seeded_engine_row_chunking_beyond_2048():
     """m > 2048 splits into 1024-row sub-batches (post-compaction cost
     is nonlinear in m); results must be seamless across boundaries."""

@@ -22,8 +22,9 @@ Three engines, differentially tested against each other:
   qualifying-lane set — computed ON THE MXU as one bf16 matmul of the
   qualifier mask against a block-diagonal weight operand — from which
   cells with <= 2 qualifiers are solved EXACTLY outside the kernel
-  (perfect-square discriminant); candidates are compacted with
-  lax.top_k and sorted by exact (d2, index). Dense adversarial cells
+  (perfect-square discriminant); candidates are compacted with a
+  positional Pallas kernel (prefix count on the MXU + slot scatter,
+  _cell_compact_kernel) and sorted by exact (d2, index). Dense adversarial cells
   (>= 3 qualifiers) are certified detectable and lax.cond-fall back to
   "passes". ~2 reference reads per 64 results at ANY K (cubic moment
   recovery past K=16, 128-lane cells + part-split compaction past
@@ -88,10 +89,9 @@ SWEEP_MAX_NEIGHBORS = 32
 #: Largest K one extraction ROUND serves. K <= 32 uses 256-lane cells
 #: (quadratic recovery to 16, cubic beyond); 32 < K <= 64 drops to
 #: 128-lane cells so <= 3 qualifiers per cell stays typical
-#: (cubic-solvable) and compacts with a 4-way part split that keeps
-#: every lax.top_k under the XLA:TPU ~48-slot cost cliff (measured
-#: 20.9/20.8 ms at m=1024/n=2^20 for K=48/K=64 vs the passes
-#: engine's 136/180 — scripts/r6_probe_k64{b,c,d}.py). Past 64 the
+#: (cubic-solvable) and compacts with a 4-way part split (total
+#: capacity 192; the split also quarters the positional compactor's
+#: per-part slot-loop cost — see _cell_compact_kernel). Past 64 the
 #: single-round pass-1 bound (K-th of 128 per-lane minima) goes too
 #: loose — at K=128 it admits ~1373 qualifiers/row and 5-deep cells
 #: (not cubic-solvable; r6_probe_k64) — so K > 64 runs ceil(K/64)
@@ -638,6 +638,164 @@ def _build_extract_candidates(m: int, n: int, k: int,
     return moments
 
 
+def _cell_compact_kernel(u_ref, *refs, cap: int, cw: int, w_tiles: int,
+                         nf: int, out_w: int, tile_m: int):
+    """Positional cell compaction — the post-extraction stage rebuilt as
+    a Pallas kernel (round-3 ninth iteration; replaces the payload-packed
+    lax.top_k ladder, whose 12 calls cost ~6.6 ms at the K=64 geometry
+    and were measured INTRINSIC to XLA's top_k — batching the part axis
+    or stacking keys into one call is SLOWER, scripts/r7_probe_compact.py).
+
+    Per grid step (m-tile i, part p, width-chunk w): the input fields are
+    (tile_m, cw) int32 with field 0 nonzero exactly at qualifying cells.
+    An inclusive prefix count over the part's cells — 128-lane chunks
+    against one upper-triangular ones operand on the MXU, carried across
+    width-chunks in scratch — assigns each qualifying cell its output
+    slot; a fori loop over the cap slots then selects slot s's unique
+    source cell per row with one compare + masked max-reduce per field
+    and accumulates it into the (tile_m, out_w) block via pad +
+    pltpu.roll (the established dynamic-lane-offset store pattern).
+    Cost is cap * nc * (nf + 1) simple VPU ops — compare ~0.7 ms against
+    top_k's 6.6 at (m=1024, nc=8192, cap=48, 3 fields).
+
+    Outputs: [lanepos, *fields] compacted in ascending cell order; slots
+    beyond a row's qualifier count stay 0 (callers read validity from
+    compacted field 0 != 0 — possible because field 0 carries cnt in its
+    low bits, OR-packed, so it is nonzero at every qualifier). Qualifiers
+    past cap are silently dropped — callers certify against that with
+    their own per-part qualifier counts, as with the top_k compaction.
+    """
+    f_refs = refs[:nf]
+    out_refs = refs[nf:2 * nf + 1]
+    carry_ref = refs[2 * nf + 1]
+    acc_refs = refs[2 * nf + 2:]
+    w_id = pl.program_id(2)
+
+    @pl.when(w_id == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        for a in acc_refs:
+            a[:] = jnp.zeros_like(a)
+
+    a0 = f_refs[0][:]
+    qual = a0 != 0
+    qf = jnp.where(qual, 1.0, 0.0).astype(jnp.bfloat16)
+    # Inclusive prefix count: per 128-lane chunk one bf16 matmul against
+    # the upper-triangular ones operand (0/1 values, f32 accumulation —
+    # counts <= pw < 2^24 stay exact), plus the running row carry.
+    base = carry_ref[:]
+    chunks = []
+    for c in range(cw // 128):
+        pc = jax.lax.dot_general(
+            qf[:, c * 128:(c + 1) * 128], u_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        chunks.append(pc + base)
+        base = base + pc[:, 127:128]
+    carry_ref[:] = base
+    pm1 = jnp.concatenate(chunks, axis=1).astype(jnp.int32) - 1
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, cw), 1)
+            + w_id * cw)
+    fields = [lane] + [r[:] for r in f_refs]
+
+    def body(s, accs):
+        sel = qual & (pm1 == s)
+        out = []
+        for f, acc in zip(fields, accs):
+            # <= 1 selected cell per row: a masked max IS the value
+            # (fields are nonnegative; empty rows contribute 0).
+            red = jnp.max(jnp.where(sel, f, 0), axis=1, keepdims=True)
+            out.append(acc + pltpu.roll(
+                jnp.pad(red, ((0, 0), (0, out_w - 1))), s, 1))
+        return tuple(out)
+
+    accs = jax.lax.fori_loop(
+        0, cap, body, tuple(a[:] for a in acc_refs))
+    for a, v in zip(acc_refs, accs):
+        a[:] = v
+
+    @pl.when(w_id == w_tiles - 1)
+    def _():
+        for o, a in zip(out_refs, acc_refs):
+            o[:] = a[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
+                          tile_m: int = 128, max_cw: int = 2048):
+    # max_cw=2048: a 4096-wide chunk put the kernel's scoped-VMEM stack
+    # at 17.5 MB against the v5e's 16 MB limit (AOT OOM at the cap=144
+    # escalation geometry); 2048 halves every (tile_m, cw) temporary.
+    """(fields: nf x (m, nc) int32, field 0 nonzero iff qualifying) ->
+    nf + 1 arrays (m, parts * cap) int32: [within-part cell position,
+    *fields], each part's qualifiers compacted to its first cap slots in
+    ascending cell order (see _cell_compact_kernel)."""
+    if nc % parts != 0:
+        raise ValueError(f"nc={nc} not divisible by parts={parts}")
+    pw = nc // parts
+    if not 1 <= cap <= min(256, pw):
+        raise ValueError(f"cap={cap} outside [1, min(256, {pw})]")
+    # Small/ragged part widths are lane-padded to the 128-lane block
+    # granularity (pad cells carry zero fields — never qualifiers).
+    # parts > 1 requires 128-divisible parts (the engines guarantee it)
+    # so the part boundaries stay block-aligned.
+    if parts > 1 and pw % 128 != 0:
+        raise ValueError(f"parts={parts} needs 128-divisible part width,"
+                         f" got {pw}")
+    pw_pad = round_up(pw, 128)
+    cw = min(pw_pad, max_cw)
+    while pw_pad % cw != 0 or cw % 128 != 0:
+        cw -= 128
+    w_tiles = pw_pad // cw
+    out_w = 128 if cap <= 128 else 256
+    m_pad = round_up(m, tile_m)
+    u = np.triu(np.ones((128, 128), np.float32)).astype(jnp.bfloat16)
+    f_spec = pl.BlockSpec((tile_m, cw),
+                          lambda i, p, w: (i, p * w_tiles + w),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_m, out_w), lambda i, p, w: (i, p),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_cell_compact_kernel, cap=cap, cw=cw,
+                          w_tiles=w_tiles, nf=nf, out_w=out_w,
+                          tile_m=tile_m),
+        grid=(m_pad // tile_m, parts, w_tiles),
+        in_specs=[pl.BlockSpec((128, 128), lambda i, p, w: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [f_spec] * nf,
+        out_specs=[out_spec] * (nf + 1),
+        out_shape=[jax.ShapeDtypeStruct((m_pad, parts * out_w), jnp.int32)
+                   for _ in range(nf + 1)],
+        scratch_shapes=[pltpu.VMEM((tile_m, 1), jnp.float32)]
+        + [pltpu.VMEM((tile_m, out_w), jnp.int32)
+           for _ in range(nf + 1)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * nc * 128 + m_pad * nc * cap * (nf + 1),
+            bytes_accessed=(m_pad * nc * nf * 4
+                            + m_pad * parts * out_w * (nf + 1) * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )
+
+    def compact(*fields):
+        if len(fields) != nf:
+            raise ValueError(f"expected {nf} fields, got {len(fields)}")
+        padded = [jnp.pad(f, ((0, m_pad - m), (0, pw_pad - pw)))
+                  for f in fields]
+        outs = call(jnp.asarray(u), *padded)
+        if out_w == cap and parts == 1:
+            return tuple(o[:m] for o in outs)
+        return tuple(
+            jnp.concatenate([o[:m, p * out_w:p * out_w + cap]
+                             for p in range(parts)], axis=1)
+            for o in outs)
+
+    compact.cap = cap
+    compact.parts = parts
+    return compact
+
+
 def _sweep_tiles(k: int, m: int, n: int, kk: int,
                  precision: str) -> tuple[int, int]:
     """Tile geometry for the sweep kernel: the 1-NN tile table (narrow —
@@ -846,6 +1004,41 @@ def _solve_cells(cellc, valid, c_cnt, e1, p2, p3, *, cell: int, n: int,
     return jnp.concatenate([colA, colB, colC], axis=1), rec_ok
 
 
+def _compact_and_solve(m: int, nc: int, parts: int, cap: int, fields,
+                       *, cell: int, n: int, solvable: int):
+    """Compact the OR-packed moment fields with the Pallas positional
+    compactor and recover candidate columns.
+
+    ``fields`` is (A,) or (A, p3) with A = min(cnt,3) | e1<<2 | p2<<12 —
+    nonzero exactly at qualifying cells, every component exact for legal
+    (cnt <= solvable) cells (e1 <= 765 < 2^10, p2 <= 195075 < 2^18).
+    Returns (cols (m, solvable * parts * cap_e) global candidate columns
+    with ``n`` sentinels, valid mask, recovery-exactness certificate).
+    Shared by the single-round and multi-round seeded engines' fast and
+    escalation tiers."""
+    pw = nc // parts
+    cap_e = min(cap, pw)
+    comp = _build_cell_compactor(m, nc, parts, cap_e, len(fields),
+                                 tile_m=min(128, round_up(m, 8)))
+    outs = comp(*fields)
+    lanepos, ac = outs[0], outs[1]
+    valid = ac != 0
+    if parts > 1:
+        off = jnp.concatenate(
+            [jnp.full((m, cap_e), p * pw, jnp.int32)
+             for p in range(parts)], axis=1)
+    else:
+        off = 0
+    cellc = jnp.where(valid, lanepos + off, 0)
+    c_cnt = ac & 3
+    e1 = (ac >> 2) & 1023
+    p2 = (ac >> 12) & 0x3FFFF
+    p3 = outs[2] if solvable == 3 else None
+    cols, rec_ok = _solve_cells(cellc, valid, c_cnt, e1, p2, p3,
+                                cell=cell, n=n, solvable=solvable)
+    return cols, valid, rec_ok
+
+
 def _exact_rerank(search, ref_aos, cols, kk: int, n: int):
     """Gather candidate reference rows, compute EXACT diff-form d2, and
     lex-sort (d2, index) -> ((m, kk) idx with -1 sentinels, (m, kk) d2).
@@ -913,11 +1106,10 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     nc = n_ops // cell
     cap_full = min(nc, 2 * SEEDED_ROUND_K + 16)
     nparts = 4
-    while nc % nparts != 0:
+    while nc % nparts != 0 or (nparts > 1 and nc // nparts % 128):
         nparts //= 2
     pw = nc // nparts
     cap_fast = min(48, pw)
-    packed = pw <= 4096
     # Unified per-round candidate width: the fast tier compacts
     # nparts * cap_fast cells, the escalation tier cap_full; both pad
     # their recovered columns so the per-round lax.cond has one output
@@ -938,91 +1130,24 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
         cnt, suml, sumsq, sumcu = moms
         qual = cnt > 0
         counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
+        # OR-packed moment payloads for the Pallas positional compactor
+        # (_compact_and_solve) — same layout as the single-round engine.
+        a_pack = (jnp.minimum(cnt, 3) | (suml.astype(jnp.int32) << 2)
+                  | (sumsq.astype(jnp.int32) << 12))
+        fields = (a_pack, sumcu)
 
         def pad_cols(cols):
             return jnp.pad(cols, ((0, 0), (0, width - cols.shape[1])),
                            constant_values=n)
 
-        def fast(_):
-            # The measured K=64 fast tier: 3-key payload-packed
-            # part-split compaction (layouts mirror the single-round
-            # engine's cell=128 cubic branch).
-            r_iota = (jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
-                      % pw)
-            head = jnp.where(qual,
-                             (1 << 30) | ((pw - 1 - r_iota) << 18), 0)
-            suml_i = suml.astype(jnp.int32)
-            sumsq_i = sumsq.astype(jnp.int32)
-            keys = [head | jnp.where(
-                        qual,
-                        ((sumcu >> 17) << 12) | (suml_i << 3)
-                        | jnp.minimum(cnt, 7), 0),
-                    head | jnp.where(
-                        qual, (((sumcu >> 15) & 3) << 16) | sumsq_i, 0),
-                    head | jnp.where(qual, sumcu & 0x7FFF, 0)]
-
-            def compact(kq):
-                ps = [jax.lax.top_k(kq[:, p * pw:(p + 1) * pw],
-                                    cap_fast)[0]
-                      for p in range(nparts)]
-                return (ps[0] if nparts == 1
-                        else jnp.concatenate(ps, axis=1))
-
-            outs = [compact(kq) for kq in keys]
-            a = outs[0]
-            valid = a >= (1 << 30)
-            local = pw - 1 - ((a >> 18) & 0xFFF)
-            if nparts > 1:
-                off = jnp.concatenate(
-                    [jnp.full((m, cap_fast), p * pw, jnp.int32)
-                     for p in range(nparts)], axis=1)
-            else:
-                off = 0
-            cellc = jnp.where(valid, local + off, 0)
-            c_cnt = a & 7
-            e1 = (a >> 3) & 0x1FF
-            p2 = outs[1] & 0xFFFF
-            p3 = ((((a >> 12) & 0x3F) << 17)
-                  | (((outs[1] >> 16) & 3) << 15) | (outs[2] & 0x7FFF))
-            cols, rec_ok = _solve_cells(cellc, valid, c_cnt, e1, p2, p3,
-                                        cell=cell, n=n,
-                                        solvable=solvable)
-            return pad_cols(cols), rec_ok
-
-        def gather_tier(cap_i, parts_i):
-            # Position-gather compaction (the any-nc mode): one rank
-            # key per part, take_along_axis moment pickup.
-            pw_i = nc // parts_i
-            cap_e = min(cap_i, pw_i)
-            r_loc = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
-            if parts_i > 1:
-                r_loc = r_loc % pw_i
-            key = jnp.where(qual, pw_i - r_loc, 0)
-            ps = [jax.lax.top_k(key[:, p * pw_i:(p + 1) * pw_i],
-                                cap_e)[0]
-                  for p in range(parts_i)]
-            vals = (ps[0] if parts_i == 1
-                    else jnp.concatenate(ps, axis=1))
-            valid = vals > 0
-            if parts_i > 1:
-                off = jnp.concatenate(
-                    [jnp.full((m, cap_e), p * pw_i, jnp.int32)
-                     for p in range(parts_i)], axis=1)
-            else:
-                off = 0
-            cellc = jnp.where(valid, pw_i - vals + off, 0)
-            take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
-            c_cnt = jnp.where(valid, take(cnt), 0)
-            e1 = take(suml).astype(jnp.int32)
-            p2 = take(sumsq).astype(jnp.int32)
-            p3 = take(sumcu)
-            cols, rec_ok = _solve_cells(cellc, valid, c_cnt, e1, p2, p3,
-                                        cell=cell, n=n,
-                                        solvable=solvable)
+        def tier(cap_i, parts_i):
+            cols, _valid, rec_ok = _compact_and_solve(
+                m, nc, parts_i, cap_i, fields, cell=cell, n=n,
+                solvable=solvable)
             return pad_cols(cols), rec_ok
 
         def escalate(_):
-            cols, rec_ok = gather_tier(cap_full, 1)
+            cols, rec_ok = tier(cap_full, 1)
             qual_rows = jnp.sum(qual, axis=1)
             return cols, rec_ok & jnp.all(qual_rows <= cap_full)
 
@@ -1031,9 +1156,8 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
             fast_fits = jnp.all(part_q <= cap_fast)
         else:
             fast_fits = jnp.all(jnp.sum(qual, axis=1) <= cap_fast)
-        tier1 = (fast if packed
-                 else (lambda _: gather_tier(cap_fast, nparts)))
-        cols_r, ok_r = jax.lax.cond(fast_fits, tier1, escalate, None)
+        cols_r, ok_r = jax.lax.cond(
+            fast_fits, lambda _: tier(cap_fast, nparts), escalate, None)
         cert_r = (jnp.max(cnt) <= solvable) & ok_r
         return cols_r, cert_r, counted, bound
 
@@ -1190,39 +1314,34 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         cell = extract.cell
         solvable = extract.solvable
         nc = n_ops // cell
-        # Compaction capacity. XLA:TPU's top_k cost cliffs between 48
-        # and 56 slots (measured at m=1024, nc=4096: cap 48 -> 8.7 ms
-        # end-to-end, 56 -> 14.6, 80 -> 14.9 — r5_probe_cap2; splitting
-        # the cell axis in halves with per-half cap 40 measured WORSE,
-        # 13.0 ms, r5_probe_halves), while the 2K+16 capacity formula
+        # Compaction capacity. The positional compactor's slot loop
+        # costs cap * nc VPU passes, so a lean fast cap still pays
+        # (historically the 48 figure came from XLA top_k's sort-cliff,
+        # r5_probe_cap2 — the top_k compaction itself is gone,
+        # r7_probe_compact{,2}.py), while the 2K+16 capacity formula
         # wants up to 80 at K=32. ESCALATING compaction gets both: every
         # batch first compacts at the fast cap (48); iff some row holds
-        # more qualifiers, a lax.cond re-runs the top_k stage at full
+        # more qualifiers, a lax.cond re-runs the compaction at full
         # capacity on device (no host sync). Observed qualifier maxima
         # over 64 perturbed reps (r5_probe_cap): 21 cells/row at K=16,
         # 47 at K=32 — so K <= 16 never escalates by construction
         # (cap_full == cap_fast) and K = 32 escalates only on qualifier
-        # spikes past 48, paying the measured ~15 ms full-cap pass
-        # instead of the ~90 ms passes fallback; only overflow PAST
+        # spikes past 48; only overflow PAST
         # cap_full routes to the fallback (the cap term of `certified`).
         cap_full = min(nc, 2 * kk + 16)
         cap_fast = min(cap_full, 48)
-        # K > 32 needs more capacity than ONE under-the-cliff top_k can
-        # give (2K+16 = 144 at K=64, qualifiers up to ~110/row): split
-        # the cell axis into 4 parts and compact each with its own
-        # cap-48 top_k — total capacity 192, every call in the fast
-        # regime, cost K-independent (20.8 ms at both K=48 and K=64 vs
-        # the sort-regime single top_k's 43 ms at K=64 and the passes
-        # engine's 180 — r6_probe_k64{b,c,d}). K <= 32 keeps the measured
-        # single-part two-tier design (a part split was SLOWER there:
-        # r5_probe_halves).
+        # K > 32 needs more capacity than one narrow compaction can give
+        # (2K+16 = 144 at K=64, qualifiers up to ~110/row): split the
+        # cell axis into 4 parts with per-part cap 48 — total capacity
+        # 192, cost K-independent. The Pallas compactor's slot loop
+        # costs cap_per_part * nc ops, so the part split also CUTS its
+        # cost 4x (the historical reason — keeping every lax.top_k call
+        # under the XLA ~48-slot sort cliff, r6_probe_k64{b,c,d} — died
+        # with the top_k compaction itself, r7_probe_compact{,2}.py).
         nparts = 4 if kk > 32 else 1
-        while nc % nparts != 0:
+        while nc % nparts != 0 or (nparts > 1 and nc // nparts % 128):
             nparts //= 2
         pw = nc // nparts
-        # The payload-packed compaction needs 12 rank bits (part width
-        # <= 4096 cells); wider parts keep the take_along_axis pickup.
-        packed_compact = pw <= 4096
 
         @jax.jit
         def run(search, r_ops, ref_aos):
@@ -1241,131 +1360,36 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             moms = extract(search, r_ops, bound)           # (m, nc) each
             cnt = moms[0]
             qual = cnt > 0
-            # Compact the qualifying cells to `cap_full` slots per row
-            # (escalating; see the cap comment above). The
-            # per-row moment pickup is the post-stage wall if done as
-            # take_along_axis lane-gathers (~0.55-0.9 ms PER FIELD at
-            # m=1024, r5_probe_prefix/variants): whenever the rank fits
-            # 12 bits, PACK the moment payloads into the top_k keys
-            # instead — key = qual<<30 | rank<<18 | payload18, with
-            # rank = nc-1-cell so descending top_k enumerates qualifying
-            # cells in ascending cell order. Every key shares the
-            # (qual, rank) high bits, so the calls select the SAME slots
-            # and the low bits ride along for free: the quadratic mode
-            # needs 2 keys (suml(10)<<3 | min(cnt,7); sumsq(18)), the
-            # cubic 4 (+ sum(l^3) as two 13-bit digits). All payloads of
-            # a LEGAL cell (cnt <= solvable) fit their fields exactly
-            # (suml <= 32640 for ANY cnt; sumsq <= 3*255^2 < 2^18;
-            # p3 <= 3*255^3 < 2^26); a cnt > solvable cell may corrupt
-            # its low bits, but such a batch is already routed to the
-            # fallback by the max(cnt) certificate, and the packing
-            # cannot overflow int32 (2^30 + (2^30 - 2^18) + (2^18 - 1)
-            # = 2^31 - 1).
+            # Compact the qualifying cells (escalating capacity; see the
+            # cap comment above) with the Pallas positional compactor
+            # (_cell_compact_kernel). The moment payloads ride along as
+            # OR-packed int32 fields — A = min(cnt,3) | e1<<2 | p2<<12
+            # always fits 30 bits for a LEGAL (cnt <= solvable) cell
+            # (e1 <= 765 < 2^10, p2 <= 195075 < 2^18 at 256-lane cells)
+            # and its low 2 bits are nonzero at every qualifier, which
+            # is the kernel's qualifier test AND the compacted slots'
+            # validity test; an illegal cell may wrap its high bits, but
+            # the max(cnt) certificate already routes that batch to the
+            # fallback. This replaced the payload-packed lax.top_k
+            # ladder: top_k cost was intrinsic (batching parts into the
+            # batch dim or stacking keys measured SLOWER), while the
+            # compactor runs the same geometries at 2.4/1.2/0.7 ms vs
+            # 6.6/~5/~3 (r7_probe_compact{,2}.py).
             qual_rows = jnp.sum(qual, axis=1)
-            if packed_compact:
-                r_iota = jax.lax.broadcasted_iota(jnp.int32, cnt.shape, 1)
-                if nparts > 1:
-                    r_iota = r_iota % pw
-                head = jnp.where(qual,
-                                 (1 << 30) | ((pw - 1 - r_iota) << 18), 0)
-                suml_i = moms[1].astype(jnp.int32)
-                sumsq_i = moms[2].astype(jnp.int32)
-                if solvable == 3 and cell == 128:
-                    # 128-lane cells shrink every legal payload: suml
-                    # <= 381 (9b), sumsq <= 48387 (16b), p3 <= 6145149
-                    # (23b) — p3 rides the spare payload bits of keys
-                    # 1-2 (6 high + 2 mid) plus 15 bits of key 3, so
-                    # THREE top_k keys suffice where 256-lane cells
-                    # need four (measured 20.1 vs 22.3 ms at K=64,
-                    # m=1024/n=2^20 — r6_probe_k64c/d).
-                    p3i = moms[3]
-                    keys = [head | jnp.where(
-                                qual,
-                                ((p3i >> 17) << 12) | (suml_i << 3)
-                                | jnp.minimum(cnt, 7), 0),
-                            head | jnp.where(
-                                qual,
-                                (((p3i >> 15) & 3) << 16) | sumsq_i, 0),
-                            head | jnp.where(qual, p3i & 0x7FFF, 0)]
-                else:
-                    keys = [head | jnp.where(
-                                qual,
-                                (suml_i << 3) | jnp.minimum(cnt, 7), 0),
-                            head | jnp.where(qual, sumsq_i, 0)]
-                    if solvable == 3:
-                        p3i = moms[3]
-                        keys.append(head | jnp.where(qual, p3i >> 13, 0))
-                        keys.append(head
-                                    | jnp.where(qual, p3i & 0x1FFF, 0))
-
+            a_pack = (jnp.minimum(cnt, 3)
+                      | (moms[1].astype(jnp.int32) << 2)
+                      | (moms[2].astype(jnp.int32) << 12))
+            fields = (a_pack,) if solvable == 2 else (a_pack, moms[3])
             def recover(cap_i, parts_i):
                 """Compaction + lane recovery + exact rerank at capacity
                 ``cap_i`` per part over ``parts_i`` cell-axis parts.
                 Output shapes ((m, kk) twice + a certificate bit) are
                 capacity-INDEPENDENT, so the escalation cond below can
                 pick a capacity without width padding — the fast path's
-                gathers/sort stay at the narrow width. The packed keys
-                carry tier-1's part-local ranks, so packed decode is
-                only valid at parts_i == nparts; the escalation tier
-                (parts_i=1 at K > 32) uses the position-gather mode."""
-                pw_i = nc // parts_i
-                cap_e = min(cap_i, pw_i)
-                if parts_i > 1:
-                    off = jnp.concatenate(
-                        [jnp.full((m, cap_e), p * pw_i, jnp.int32)
-                         for p in range(parts_i)], axis=1)
-                else:
-                    off = 0
-
-                def compact(kq):
-                    ps = [jax.lax.top_k(
-                              kq[:, p * pw_i:(p + 1) * pw_i], cap_e)[0]
-                          for p in range(parts_i)]
-                    return (ps[0] if parts_i == 1
-                            else jnp.concatenate(ps, axis=1))
-
-                if packed_compact and parts_i == nparts:
-                    outs = [compact(kq) for kq in keys]
-                    a = outs[0]
-                    valid = a >= (1 << 30)
-                    local = pw_i - 1 - ((a >> 18) & 0xFFF)
-                    cellc = jnp.where(valid, local + off, 0)
-                    c_cnt = a & 7
-                    if solvable == 3 and cell == 128:
-                        e1 = (a >> 3) & 0x1FF
-                        p2 = outs[1] & 0xFFFF
-                        p3 = ((((a >> 12) & 0x3F) << 17)
-                              | (((outs[1] >> 16) & 3) << 15)
-                              | (outs[2] & 0x7FFF))
-                    else:
-                        e1 = (a >> 3) & 0x7FFF
-                        p2 = outs[1] & 0x3FFFF
-                        if solvable == 3:
-                            p3 = (((outs[2] & 0x1FFF) << 13)
-                                  | (outs[3] & 0x1FFF))
-                else:
-                    r_loc = jax.lax.broadcasted_iota(jnp.int32,
-                                                     cnt.shape, 1)
-                    if parts_i > 1:
-                        r_loc = r_loc % pw_i
-                    key = jnp.where(qual, pw_i - r_loc, 0)
-                    vals = compact(key)
-                    valid = vals > 0
-                    cellc = jnp.where(valid, pw_i - vals + off, 0)
-                    take = lambda a: jnp.take_along_axis(a, cellc, axis=1)
-                    c_cnt = jnp.where(valid, take(cnt), 0)
-                    e1 = take(moms[1]).astype(jnp.int32)
-                    p2 = take(moms[2]).astype(jnp.int32)
-                    if solvable == 3:
-                        p3 = take(moms[3])
-                # Exact lane recovery (quadratic perfect-square at
-                # K <= 16, cubic Newton + deflation beyond) and the
-                # exact-distance rerank — shared helpers with the
-                # multi-round form.
-                cols, rec_ok = _solve_cells(
-                    cellc, valid, c_cnt, e1, p2,
-                    p3 if solvable == 3 else None,
-                    cell=cell, n=n, solvable=solvable)
+                gathers/sort stay at the narrow width."""
+                cols, _valid, rec_ok = _compact_and_solve(
+                    m, nc, parts_i, cap_i, fields, cell=cell, n=n,
+                    solvable=solvable)
                 idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
                 return idx_k, d2_k, rec_ok
 
