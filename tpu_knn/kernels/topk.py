@@ -116,6 +116,15 @@ SEEDED_MAX_NEIGHBORS = PASSES_MAX_NEIGHBORS
 #: ~10 vs passes 23.9 — PERF_NOTES "Round-3").
 SWEEP_AUTO_BUDGET = 256
 
+#: Seeded-engine batches beyond 2x this many rows split into sub-batches
+#: of this size. Historically load-bearing (the r4 top_k-era compaction
+#: degraded nonlinearly in m: unsplit m=4096 cost 12x m=1024); with the
+#: r7 Pallas positional compactor the re-measurement is a wash (m=4096
+#: K=8: chunked 28.4 ms vs unsplit 29.2; K=32: 37.1 vs 36.7 —
+#: scripts/r7_probe_mbig.py), and chunking is kept because one compiled
+#: 1024-row pipeline then serves every m that is a multiple of it.
+SEEDED_CHUNK_ROWS = 1024
+
 
 def _auto_method(m: int, kk: int) -> str:
     if kk <= SWEEP_MAX_NEIGHBORS and m * kk <= SWEEP_AUTO_BUDGET:
@@ -1259,12 +1268,13 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         if not 1 <= kk <= SEEDED_MAX_NEIGHBORS:
             raise ValueError(
                 f"seeded engine serves K in [1, {SEEDED_MAX_NEIGHBORS}]")
-        if m > 2048:
-            # The post-kernel compaction degrades nonlinearly past a few
-            # thousand rows (measured: m=4096 cost 12x m=1024, not 4x);
-            # split into 1024-row sub-batches, each a full independent
-            # pipeline with its own certification/fallback.
-            bounds = [(s, min(m, s + 1024)) for s in range(0, m, 1024)]
+        if m > 2 * SEEDED_CHUNK_ROWS:
+            # Split into SEEDED_CHUNK_ROWS-row sub-batches, each a full
+            # independent pipeline with its own certification/fallback
+            # (cost-neutral vs unsplit since the Pallas compactor — see
+            # the constant's note — and compile-cache friendly).
+            c = SEEDED_CHUNK_ROWS
+            bounds = [(s, min(m, s + c)) for s in range(0, m, c)]
             runs = {}
             for s, e in bounds:
                 if e - s not in runs:
