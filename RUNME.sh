@@ -21,3 +21,7 @@ python scripts/mesh_scaling.py
 
 echo "== benchmark =="
 python bench.py
+
+echo "== rendered report (docs/REPORT.html + docs/REPORT.pdf) =="
+python scripts/render_report.py
+python scripts/render_pdf.py
