@@ -123,7 +123,26 @@ PAD_VALUE = 1e30
 class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
                  precision: str | None = None, mutable: bool = False,
-                 capacity: int | None = None):
+                 capacity: int | None = None, store: str = "float32"):
+        """store="bf16" (fused strategy only): quantize the reference
+        points ONCE to bfloat16 at build. Queries remain EXACT — every
+        kernel upcasts at the read site and computes f32 diff-form
+        distances — but over the QUANTIZED point set (coordinates carry
+        8 significand bits; for unit-scale data that perturbs each
+        coordinate by <= ~2^-9 relative). The trade: half the index HBM
+        (so 2x the points per chip) and ~2x the read-bound small-batch
+        scan paths (measured: scripts/r8_probe_bf16.py). Queries are
+        still f32; ties still break to the lowest index among exact-
+        equal f32 distances over the stored points."""
+        if store not in ("float32", "bf16"):
+            raise ValueError(f"store must be 'float32' or 'bf16', "
+                             f"got {store!r}")
+        if store == "bf16" and strategy != "fused":
+            raise ValueError(
+                "store='bf16' requires strategy='fused' (the spatial "
+                "indexes and the mesh pre-shard build f32 structures; "
+                f"got {strategy!r})")
+        self.store = store
         # Device-only strategies take a jax array as-is (no host round
         # trip, which costs seconds over the dev tunnel at n=2^24);
         # anything else (NumPy, lists, tuples) is coerced to a contiguous
@@ -157,15 +176,21 @@ class NNIndex:
             # silently used tile_n=2048 instead of the packed path's 8192.
             _, self.tile_n = pick_tiles(self.k, 1024, self.n,
                                         wide=precision == "packed")
+            # bf16 store quantizes ONCE, then derives BOTH operands (the
+            # AoS rerank copy and the SoA scan operand) from the same
+            # quantized values — the kernels' f32 upcasts then agree
+            # bit-exactly between candidate selection and refinement.
+            dt = jnp.bfloat16 if store == "bf16" else jnp.float32
             if mutable:
-                self._init_mutable(jnp.asarray(ref, jnp.float32), capacity)
+                self._init_mutable(jnp.asarray(ref, jnp.float32).astype(dt),
+                                   capacity)
                 return
             # Kernel operands prepared once on device (SoA layout; for the
             # default bf16x3 path: bf16 hi/lo splits + f32 norms).
             builder = _build_fused_candidates(8, self.n, self.k, 8,
                                               self.tile_n, soa=True,
                                               precision=precision)
-            self.ref_dev = jnp.asarray(ref, jnp.float32)  # AoS copy for exact refinement
+            self.ref_dev = jnp.asarray(ref, jnp.float32).astype(dt)  # AoS copy for exact refinement
             self.r_ops = jax.jit(builder.prep_soa)(self.ref_dev)
             jax.block_until_ready(self.r_ops)
             if strategy == "auto":
@@ -261,7 +286,11 @@ class NNIndex:
         n = self.n
         self.capacity = round_up(max(capacity or 0, 2 * n, 1024), self.tile_n)
         k_pad = round_up(self.k, 8)
-        fill = jnp.full((self.capacity - n, self.k), PAD_VALUE, jnp.float32)
+        # dtype follows the stored points (store="bf16" quantizes once at
+        # build; PAD_VALUE quantizes to ~1.0038e30 whose square still
+        # overflows f32 to +inf, so slot self-exclusion is unchanged).
+        fill = jnp.full((self.capacity - n, self.k), PAD_VALUE,
+                        ref_dev.dtype)
         self.ref_dev = jnp.concatenate([ref_dev, fill])
         # SoA operand: k zero-padded on sublanes (distance-neutral),
         # empty slots PAD_VALUE across ALL k_pad sublanes (score +inf;
@@ -281,6 +310,7 @@ class NNIndex:
 
         @jax.jit
         def upd(ref_dev, r_op, pts, pos):
+            pts = pts.astype(ref_dev.dtype)  # bf16 store quantizes adds
             ref_dev = jax.lax.dynamic_update_slice(ref_dev, pts, (pos, 0))
             blk = jnp.pad(pts, ((0, 0), (0, k_pad - k))).T
             r_op = jax.lax.dynamic_update_slice(r_op, blk, (0, pos))
@@ -351,7 +381,7 @@ class NNIndex:
         pad_n = new_cap - self.capacity
         self.ref_dev = jnp.concatenate(
             [self.ref_dev,
-             jnp.full((pad_n, self.k), PAD_VALUE, jnp.float32)])
+             jnp.full((pad_n, self.k), PAD_VALUE, self.ref_dev.dtype)])
         self.r_ops = (jnp.pad(self.r_ops[0], ((0, 0), (0, pad_n)),
                               constant_values=PAD_VALUE),)
         live = np.zeros(new_cap, bool)
@@ -411,6 +441,7 @@ class NNIndex:
         view.mutable = False
         view.n, view.k = self.n, self.k
         view.precision = self.precision
+        view.store = self.store
         view.tile_n = self.tile_n
         view.ref_dev = self.ref_dev            # shared AoS (gathers only
         r_op = self.r_ops[0]                   # touch reported winners)
@@ -488,20 +519,29 @@ class NNIndex:
             raise ValueError("filtered views are ephemeral; save the "
                              "parent index and the mask")
         meta = dict(strategy=self.strategy, precision=self.precision,
-                    mutable=self.mutable)
+                    mutable=self.mutable, store=getattr(self, "store",
+                                                        "float32"))
         if self.strategy == "kdtree":
             np.savez_compressed(path, ref=self.ref, p=self.tree.p,
                                 dim=self.tree.dim,
                                 split_val=self.tree.split_val, **meta)
             return
+
+        def host(a):
+            # bf16 arrays persist as their raw uint16 bits (np.savez has
+            # no bfloat16; the view round-trips bit-exactly and keeps the
+            # half-size file the storage mode promises).
+            a = np.asarray(a)
+            return a.view(np.uint16) if a.dtype.itemsize == 2 else a
+
         if self.mutable:
             # Slot array as-is (removed slots are PAD sentinels) + the
             # live mask: ids survive the round trip.
             np.savez_compressed(
-                path, ref=np.asarray(self.ref_dev[: self._n_slots]),
+                path, ref=host(self.ref_dev[: self._n_slots]),
                 live=self._live[: self._n_slots], **meta)
             return
-        np.savez_compressed(path, ref=np.asarray(self.ref_dev), **meta)
+        np.savez_compressed(path, ref=host(self.ref_dev), **meta)
 
     @classmethod
     def load(cls, path: str) -> "NNIndex":
@@ -509,7 +549,15 @@ class NNIndex:
             strategy = str(z["strategy"])
             mutable = bool(z["mutable"])
             precision = str(z["precision"])
+            store = str(z["store"]) if "store" in z else "float32"
             ref = z["ref"]
+            if store == "bf16":
+                # Saved as raw uint16 bits; the f32 upcast re-quantizes
+                # bit-identically in the constructor (bf16 -> f32 -> bf16
+                # is the identity).
+                import ml_dtypes
+
+                ref = ref.view(ml_dtypes.bfloat16).astype(np.float32)
             if strategy == "kdtree":
                 # Restore WITHOUT repaying the host build (the point of
                 # persisting a tree — reference README.md:334-343 splits
@@ -537,10 +585,11 @@ class NNIndex:
                 # sentinels in it), then restore liveness — ids preserved.
                 live = z["live"]
                 ix = cls(ref, strategy=strategy, precision=precision,
-                         mutable=True)
+                         mutable=True, store=store)
                 ix._live[: ix._n_slots] = live
                 return ix
-            return cls(ref, strategy=strategy, precision=precision)
+            return cls(ref, strategy=strategy, precision=precision,
+                       store=store)
 
     #: Certification hit rate the build-time probe must clear for "auto"
     #: to enable projection serving.

@@ -207,7 +207,14 @@ def _score_tile(q_tile, r_tile, *, soa: bool, precision: str,
 
     soa: r_tile is (kp, tile_n); aos: r_tile is (tile_n, kp) and pays an
     on-chip transpose (the v3-vs-v4 distinction, README.md:105-111).
+
+    A bf16 r_tile (NNIndex store="bf16": the operand holds quantized
+    points) is upcast here — exactly representable, so every downstream
+    score equals the f32 pipeline's over the quantized point set, and
+    the bf16 splits see r_lo = 0.
     """
+    if r_tile.dtype != jnp.float32:
+        r_tile = r_tile.astype(jnp.float32)
     if not soa:
         r_tile = r_tile.T
     if fuse_norm:

@@ -91,7 +91,10 @@ def _smallm_kernel(q_ref, r_ref, out_i_ref, out_s_ref, best_s, best_i, *,
         best_s[:] = jnp.full_like(best_s, jnp.inf)
         best_i[:] = jnp.full_like(best_i, _I32_MAX)
 
-    r = r_ref[:]  # (k_pad, tile_n); zero-padded rows are distance-neutral
+    # (k_pad, tile_n); zero-padded rows are distance-neutral. bf16-stored
+    # operands (NNIndex store="bf16") upcast at the read: the diff-form
+    # arithmetic below is then f32-exact over the quantized points.
+    r = r_ref[:].astype(jnp.float32)
     for i in range(m):
         diff = r - q_ref[:, i:i + 1]
         s = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, tile_n) exact

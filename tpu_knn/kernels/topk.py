@@ -259,7 +259,9 @@ def _smallm_topk_kernel(q_ref, r_ref, bs_ref, out_s_ref, out_i_ref, s_buf,
             s_refs[l][:] = bs_ref[:]
             i_refs[l][:] = jnp.full_like(i_refs[l], _I32_MAX)
 
-    r = r_ref[:]  # (k_pad, tile_n); zero-padded rows are distance-neutral
+    # (k_pad, tile_n); zero-padded rows are distance-neutral. bf16-stored
+    # operands upcast at the read (exact — quantized-point semantics).
+    r = r_ref[:].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1) + j * tile_n
     hit = jnp.bool_(False)
     worst = s_refs[kk - 1][:]
