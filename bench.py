@@ -325,6 +325,80 @@ def main():
             print(f"# {sname} prepared-index (m=1): {ms1:.3f} ms "
                   f"errors {errs1}/{tot1}", file=sys.stderr, flush=True)
 
+        # Quantized storage (store="bf16", round 3): same ds9 shape, half
+        # the index HBM, ~2x the read-bound m=1 scan. Contract is
+        # EXACT-over-stored-points, so the gate runs v2 on the f32 upcast
+        # of the QUANTIZED reference (docs/SERVING.md "Quantized storage").
+        t0 = time.time()
+        ixb = NNIndex(r1, store="bf16")
+        buildb_s = time.time() - t0
+        runb, opsb = ixb.pipeline(1)
+
+        def bf16_step(i, c, q, ops):
+            eps = i.astype(jnp.float32) * 1e-9
+            ia, da = runb(q + eps, *ops)
+            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+        msb, itersb = calibrated_amplified_ms(bf16_step, q1, opsb)
+        iab, _dab = runb(q1, *opsb)
+        r1q = ixb.ref_dev.astype(jnp.float32)
+        errsb, totb = device_gate_vs_v2(q1, r1q, iab)
+        f32_row = next(r_ for r_ in details["rows"]
+                       if r_["name"] == "ds9_prepared_index")
+        details["rows"].append({
+            "name": "ds9_prepared_index_bf16",
+            "k": 16, "m": 1, "n": 1 << 24, "ms": round(msb, 3),
+            "timing": f"amplified x{itersb}",
+            "prepare_s": round(buildb_s, 2),
+            "f32_ms": f32_row["ms"],
+            "index_hbm_mb": round(
+                sum(int(np.prod(o.shape)) * o.dtype.itemsize
+                    for o in (ixb.ref_dev, *opsb[0])) / 2**20),
+            "errors": f"{errsb}/{totb}",
+            "gate": "on-device v2 differential over the QUANTIZED points",
+            "note": "NNIndex(store='bf16'): exact-over-stored-points, "
+                    "half the index HBM (scripts/r8_probe_bf16.py)",
+        })
+        if errsb:
+            print("CORRECTNESS FAILURE on ds9_prepared_index_bf16",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# ds9 prepared-index bf16 (m=1): {msb:.3f} ms "
+              f"errors {errsb}/{totb}", file=sys.stderr, flush=True)
+
+        # bf16 m=1 top-K: the AoS cell engine over the quantized resident
+        # array; the f32 run over the upcast quantized points computes
+        # IDENTICAL f32 arithmetic, so the gate is strict index equality.
+        from tpu_knn.kernels.topk import _build_aos_topk
+
+        tkb = _build_aos_topk(1, 1 << 24, 16, 16)
+        ib_q, db_q = tkb(q1, ixb.ref_dev)
+        if_q, df_q = tkb(q1, r1q)
+        errsk = int(jax.device_get(jnp.sum(ib_q != if_q)))
+
+        def bf16_tk_step(i, c, q, rdev):
+            ia, da = tkb(q + i.astype(jnp.float32) * 1e-9, rdev)
+            return c + da[0, 0] + jnp.sum(da) * 1e-9
+
+        msk, itersk = calibrated_amplified_ms(bf16_tk_step, q1, ixb.ref_dev)
+        details["rows"].append({
+            "name": "topk_serving_1x2^24_k16_K16_bf16",
+            "k": 16, "m": 1, "n": 1 << 24, "neighbors": 16,
+            "ms": round(msk, 3),
+            "timing": f"amplified x{itersk}",
+            "errors": f"{errsk}/16",
+            "gate": "strict equality vs the f32 engine on the upcast "
+                    "quantized points",
+            "note": "m=1 AoS cell top-K off the bf16-stored index",
+        })
+        if errsk:
+            print("CORRECTNESS FAILURE on topk_serving_1x2^24_k16_K16_bf16",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# topk m=1 K=16 bf16: {msk:.3f} ms errors {errsk}/16",
+              file=sys.stderr, flush=True)
+        del ixb, runb, opsb, iab, r1q, tkb, ib_q, db_q, if_q, df_q
+
         # v11 projection index, small-batch lookup niche: raw runner
         # timing (the certification sync is a tunnel artifact; see
         # kernels/projection.py docstring).

@@ -153,6 +153,44 @@ def test_bf16_filtered_view():
     np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
 
 
+def test_bf16_sharded_1nn_and_topk():
+    """store="bf16" on the sharded strategy: both shard-resident operands
+    quantized (half per-shard HBM), results exact over the quantized
+    points through the mesh pipeline (8 virtual devices, conftest)."""
+    rng = np.random.default_rng(21)
+    ref = rng.random((16_384, 6), np.float32)
+    ix = NNIndex(ref, strategy="sharded", store="bf16")
+    assert str(ix.r_sharded.dtype) == "bfloat16"
+    assert str(ix.r_ops_sharded.dtype) == "bfloat16"
+    ref_q = _quantized(ref)
+    q = rng.random((24, 6), np.float32)
+    idx, d2 = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), _oracle(q, ref_q))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.sum((q - ref_q[np.asarray(idx)]) ** 2, axis=1),
+        rtol=1e-6)
+    gi, _gd = ix.query(q, neighbors=8)
+    np.testing.assert_array_equal(np.asarray(gi), _gold_topk(q, ref_q, 8))
+
+
+def test_bf16_sharded_cross_shard_quantization_tie():
+    """Two distinct f32 points on DIFFERENT shards that quantize to the
+    same bf16 cell: the global merge must report the lower index."""
+    rng = np.random.default_rng(22)
+    ref = rng.random((4_096, 4), np.float32)
+    q = rng.random((3, 4), np.float32)
+    base = q[1] + 1e-4
+    ref[300] = base                    # shard 0 (4096/8 = 512 per shard)
+    ref[3_900] = base + 1e-4           # last shard; collides under bf16
+    ref_q = _quantized(ref)
+    if not (ref_q[300] == ref_q[3_900]).all():  # pragma: no cover
+        pytest.skip("offsets did not collide under this seed")
+    ix = NNIndex(ref, strategy="sharded", store="bf16")
+    idx, _ = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(idx), _oracle(q, ref_q))
+    assert int(np.asarray(idx)[1]) == 300
+
+
 def test_bf16_store_validation():
     ref = np.zeros((128, 3), np.float32)
     with pytest.raises(ValueError, match="store"):

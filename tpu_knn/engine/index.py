@@ -137,11 +137,11 @@ class NNIndex:
         if store not in ("float32", "bf16"):
             raise ValueError(f"store must be 'float32' or 'bf16', "
                              f"got {store!r}")
-        if store == "bf16" and strategy != "fused":
+        if store == "bf16" and strategy not in ("fused", "sharded"):
             raise ValueError(
-                "store='bf16' requires strategy='fused' (the spatial "
-                "indexes and the mesh pre-shard build f32 structures; "
-                f"got {strategy!r})")
+                "store='bf16' requires strategy='fused' or 'sharded' "
+                "(the spatial indexes bake f32 structures into their "
+                f"build); got {strategy!r}")
         self.store = store
         # Device-only strategies take a jax array as-is (no host round
         # trip, which costs seconds over the dev tunnel at n=2^24);
@@ -243,7 +243,18 @@ class NNIndex:
             self.tile_n, n_local, n_pad = sharded_layout(self.n, self.k,
                                                          self.mesh)
             self._n_local = n_local
-            padded = np.full((n_pad, self.k), PAD_VALUE, np.float32)
+            # store="bf16": quantize once on the host, keep BOTH shard-
+            # resident operands quantized (half the per-shard HBM — 2x
+            # the reference points per slice). Kernels upcast at the
+            # read site; the bf16 PAD sentinel still squares to +inf.
+            if store == "bf16":
+                import ml_dtypes
+
+                host_dt = ml_dtypes.bfloat16
+                ref = ref.astype(host_dt)
+            else:
+                host_dt = np.float32
+            padded = np.full((n_pad, self.k), PAD_VALUE, host_dt)
             padded[: self.n] = ref
             ref_axes = ("dcn", "sp") if "dcn" in self.mesh.shape else ("sp",)
             self.r_sharded = jax.device_put(
@@ -255,7 +266,7 @@ class NNIndex:
             # zeros (distance-neutral); PAD columns carry PAD_VALUE in
             # the real-k rows, so their scores overflow to +inf.
             k_pad = round_up(self.k, 8)
-            soa = np.zeros((k_pad, n_pad), np.float32)
+            soa = np.zeros((k_pad, n_pad), host_dt)
             soa[: self.k] = padded.T
             self.r_ops_sharded = jax.device_put(
                 soa, NamedSharding(self.mesh, P(None, ref_axes)))
