@@ -123,7 +123,8 @@ PAD_VALUE = 1e30
 class NNIndex:
     def __init__(self, ref, strategy: str = "fused", mesh=None,
                  precision: str | None = None, mutable: bool = False,
-                 capacity: int | None = None, store: str = "float32"):
+                 capacity: int | None = None, store: str = "float32",
+                 metric: str = "l2", _pretransformed: bool = False):
         """store="bf16" (fused strategy only): quantize the reference
         points ONCE to bfloat16 at build. Queries remain EXACT — every
         kernel upcasts at the read site and computes f32 diff-form
@@ -133,7 +134,45 @@ class NNIndex:
         (so 2x the points per chip) and ~2x the read-bound small-batch
         scan paths (measured: scripts/r8_probe_bf16.py). Queries are
         still f32; ties still break to the lowest index among exact-
-        equal f32 distances over the stored points."""
+        equal f32 distances over the stored points.
+
+        metric="cosine"/"ip" (fused/sharded): similarity search through
+        the SAME exact-L2 machinery via a build-time transform — the
+        TPU-idiomatic design is one exact engine plus monotone
+        reductions, not per-metric kernels.
+        - "cosine": points are L2-normalized once at build, queries at
+          query time; argmin L2 over unit vectors IS argmax cosine
+          (monotone: d2 = 2 - 2*cos), so selection/ties are exact over
+          the stored normalized points. query() returns (idx,
+          similarity); query_radius(q, s_min) takes a MINIMUM
+          similarity. Zero vectors have no direction and are rejected.
+        - "ip" (maximum inner product): the classic augmentation — each
+          point gains one dimension sqrt(max_norm2 - |r|2), making
+          d2 = |q|2 + max_norm2 - 2*q.r, monotone in the inner product;
+          exact MIPS over the stored augmented points. query() returns
+          (idx, exact f32 q.r recomputed over the winners — the
+          d2-derived form loses precision to cancellation).
+        Both compose with top-K, mutable (adds are transformed; an "ip"
+        add must fit under the build-time max norm), and save/load —
+        but NOT with store="bf16": quantizing AFTER the transform
+        perturbs the unit/equal norms the monotone reduction relies on
+        (the result would be exact L2 over quantized transformed points,
+        which is no longer exactly max-cosine/max-IP over anything), so
+        the combination is rejected rather than shipped approximate."""
+        if metric not in ("l2", "cosine", "ip"):
+            raise ValueError(
+                f"metric must be 'l2', 'cosine', or 'ip', got {metric!r}")
+        if metric != "l2" and strategy not in ("fused", "sharded"):
+            raise ValueError(
+                "metric='cosine'/'ip' requires strategy='fused' or "
+                "'sharded' (the spatial indexes assume raw-coordinate "
+                f"geometry); got {strategy!r}")
+        if metric != "l2" and store != "float32":
+            raise ValueError(
+                "metric='cosine'/'ip' requires store='float32': "
+                "quantizing after the metric transform breaks the exact "
+                "monotone reduction to L2 (see the class docstring)")
+        self.metric = metric
         if store not in ("float32", "bf16"):
             raise ValueError(f"store must be 'float32' or 'bf16', "
                              f"got {store!r}")
@@ -150,6 +189,10 @@ class NNIndex:
         # always need one.
         if strategy in ("kdtree", "sharded") or not isinstance(ref, jax.Array):
             ref = np.ascontiguousarray(ref, np.float32)
+        self.k_user = ref.shape[1] - (
+            1 if metric == "ip" and _pretransformed else 0)
+        if metric != "l2" and not _pretransformed:
+            ref = self._transform_ref(ref)
         self.n, self.k = ref.shape
         self.strategy = strategy
         self.mutable = mutable
@@ -274,6 +317,67 @@ class NNIndex:
         else:
             raise ValueError(f"unknown strategy {strategy!r}")
 
+    # ---- metric transforms (cosine / inner product) ------------------
+
+    def _transform_ref(self, ref):
+        """Build-time geometry transform: the metric reduces to exact L2
+        over transformed points (class docstring). Handles NumPy (host
+        builds: sharded) and jax arrays (device builds: fused) alike."""
+        xp = jnp if isinstance(ref, jax.Array) else np
+        n2 = (ref * ref).sum(axis=1)
+        if self.metric == "cosine":
+            if float(n2.min()) == 0.0:
+                raise ValueError(
+                    "metric='cosine': reference contains a zero vector "
+                    "(no direction); remove it or use metric='l2'")
+            out = ref / xp.sqrt(n2)[:, None]
+        else:  # ip: augment with sqrt(max_norm2 - |r|2) so norms equalize
+            m2 = float(n2.max())
+            self._ip_m2 = m2
+            aug = xp.sqrt(xp.maximum(xp.asarray(m2, ref.dtype) - n2, 0))
+            out = xp.concatenate([ref, aug[:, None]], axis=1)
+        if xp is np:
+            out = np.ascontiguousarray(out, np.float32)
+        return out
+
+    def _transform_q(self, search):
+        """Query-time counterpart of _transform_ref; validates the USER
+        dimensionality (k_user — 'ip' stores k_user + 1 columns)."""
+        if search.shape[-1] != self.k_user:
+            raise ValueError(
+                f"queries must have k={self.k_user} dims, "
+                f"got {search.shape[-1]}")
+        if isinstance(search, np.ndarray) and self.metric == "cosine":
+            # Zero queries have no direction; only checkable without a
+            # device sync when the batch arrives host-side.
+            if not (search.astype(np.float32) ** 2).sum(1).all():
+                raise ValueError("metric='cosine': zero query vector")
+        search = jnp.asarray(search, jnp.float32)
+        if self.metric == "cosine":
+            n2 = jnp.sum(search * search, axis=1, keepdims=True)
+            return search / jnp.sqrt(n2)
+        return jnp.pad(search, ((0, 0), (0, 1)))  # ip: q gains a 0 column
+
+    def _metric_scores(self, search_t, idx, d2):
+        """Map the engine's exact L2 outputs to the metric's native
+        scores. cosine: sim = 1 - d2/2 (exact transform of the exact d2
+        over unit vectors, <= 1 ulp). ip: recompute the exact f32 dot
+        over the winners — the d2-derived form (|q|2 + M2 - d2)/2 loses
+        low bits to cancellation at large norms. idx may be (m,) or
+        (m, K); invalid slots (radius padding, idx < 0) score -inf."""
+        if self.metric == "l2":
+            return idx, d2
+        if self.metric == "cosine":
+            return idx, jnp.where(jnp.isfinite(d2), 1.0 - d2 * 0.5,
+                                  -jnp.inf)
+        src = self.ref_dev if hasattr(self, "ref_dev") else self.r_sharded
+        valid = idx >= 0
+        pts = jnp.take(src, jnp.where(valid, idx, 0).reshape(-1), axis=0)
+        pts = pts.reshape(*idx.shape, src.shape[1])
+        q = search_t[:, None, :] if idx.ndim == 2 else search_t
+        ip = jnp.sum(pts * q, axis=-1)  # aug column x q's 0 column = 0
+        return idx, jnp.where(valid, ip, -jnp.inf)
+
     # ---- mutable (dynamic-update) machinery -------------------------
 
     @property
@@ -351,6 +455,30 @@ class NNIndex:
         values future queries report). Device-side in-place update: no
         recompilation unless capacity grows (then amortized doubling)."""
         self._require_mutable()
+        if self.metric != "l2":
+            # Metric adds transform host-side (the norm guards need a
+            # value check anyway; mutable adds are host-interactive).
+            points = np.ascontiguousarray(points, np.float32)
+            if points.ndim != 2 or points.shape[1] != self.k_user:
+                raise ValueError(f"points must be (p, {self.k_user}), "
+                                 f"got {points.shape}")
+            n2 = (points ** 2).sum(1)
+            if self.metric == "cosine":
+                if not n2.all():
+                    raise ValueError("metric='cosine': zero vector added")
+                points = points / np.sqrt(n2)[:, None]
+            else:
+                if n2.max(initial=0.0) > self._ip_m2:
+                    raise ValueError(
+                        "metric='ip': added point's squared norm "
+                        f"{float(n2.max()):.6g} exceeds the build-time "
+                        f"maximum {self._ip_m2:.6g} the augmentation was "
+                        "sized for — rebuild the index with the larger "
+                        "set")
+                points = np.concatenate(
+                    [points,
+                     np.sqrt(np.maximum(self._ip_m2 - n2, 0))[:, None]],
+                    axis=1)
         points = jnp.asarray(points, jnp.float32)
         if points.ndim != 2 or points.shape[1] != self.k:
             raise ValueError(f"points must be (p, {self.k}), "
@@ -453,6 +581,10 @@ class NNIndex:
         view.n, view.k = self.n, self.k
         view.precision = self.precision
         view.store = self.store
+        view.metric = self.metric
+        view.k_user = self.k_user
+        if self.metric == "ip":
+            view._ip_m2 = self._ip_m2
         view.tile_n = self.tile_n
         view.ref_dev = self.ref_dev            # shared AoS (gathers only
         r_op = self.r_ops[0]                   # touch reported winners)
@@ -531,7 +663,10 @@ class NNIndex:
                              "parent index and the mask")
         meta = dict(strategy=self.strategy, precision=self.precision,
                     mutable=self.mutable, store=getattr(self, "store",
-                                                        "float32"))
+                                                        "float32"),
+                    metric=self.metric)
+        if self.metric == "ip":
+            meta["ip_m2"] = self._ip_m2
         if self.strategy == "kdtree":
             np.savez_compressed(path, ref=self.ref, p=self.tree.p,
                                 dim=self.tree.dim,
@@ -561,6 +696,7 @@ class NNIndex:
             mutable = bool(z["mutable"])
             precision = str(z["precision"])
             store = str(z["store"]) if "store" in z else "float32"
+            metric = str(z["metric"]) if "metric" in z else "l2"
             ref = z["ref"]
             if store == "bf16":
                 # Saved as raw uint16 bits; the f32 upcast re-quantizes
@@ -579,6 +715,8 @@ class NNIndex:
                 ix = cls.__new__(cls)
                 ix.ref = np.ascontiguousarray(ref, np.float32)
                 ix.n, ix.k = ix.ref.shape
+                ix.k_user = ix.k
+                ix.metric = "l2"
                 ix.strategy = "kdtree"
                 ix.mutable = False
                 ix.precision = precision
@@ -591,16 +729,24 @@ class NNIndex:
                 # restored build byte-identical to what was saved.
                 ix._kdt2 = None
                 return ix
+            # Saved points are already in the metric's transformed
+            # geometry (ip: augmented column included) — re-transforming
+            # would double-normalize/re-augment, so the constructor is
+            # told to take them as-is.
+            extra = dict(metric=metric, _pretransformed=metric != "l2")
             if mutable:
                 # Rebuild from the SLOT array (dead slots are already PAD
                 # sentinels in it), then restore liveness — ids preserved.
                 live = z["live"]
                 ix = cls(ref, strategy=strategy, precision=precision,
-                         mutable=True, store=store)
+                         mutable=True, store=store, **extra)
                 ix._live[: ix._n_slots] = live
-                return ix
-            return cls(ref, strategy=strategy, precision=precision,
-                       store=store)
+            else:
+                ix = cls(ref, strategy=strategy, precision=precision,
+                         store=store, **extra)
+            if metric == "ip":
+                ix._ip_m2 = float(z["ip_m2"])
+            return ix
 
     #: Certification hit rate the build-time probe must clear for "auto"
     #: to enable projection serving.
@@ -682,11 +828,19 @@ class NNIndex:
         neighbors=K (serving extension beyond the reference's 1-NN
         contract) returns (idx (m, K), d2 (m, K)) — including K=1, so
         callers parameterizing K always get two-dimensional rows —
-        ascending by exact (d2, index) (kernels/topk.py)."""
+        ascending by exact (d2, index) (kernels/topk.py).
+
+        Metric indexes return the metric's native score in the second
+        slot instead of d2 — cosine similarity (descending) or the
+        exact f32 inner product (descending) — same index semantics
+        (see the class docstring)."""
         if self.mutable and self.n_live < 1:
             raise ValueError("index has no live points")
+        if self.metric != "l2":
+            search = self._transform_q(search)
         if neighbors is not None:
-            return self._query_topk(search, neighbors)
+            idx, d2 = self._query_topk(search, neighbors)
+            return self._metric_scores(search, idx, d2)
         m = search.shape[0]
         if self.strategy == "kdtree" and self.use_native_query:
             # CPU-native backend: keep everything on the host (a device
@@ -711,7 +865,7 @@ class NNIndex:
         idx, d2 = self._query_padded(search, m)
         if mb != m:
             idx, d2 = idx[:m], d2[:m]
-        return idx, d2
+        return self._metric_scores(search[:m], idx, d2)
 
     def pipeline(self, m: int):
         """Return (run, ops) for the prepared device query pipeline at
@@ -756,9 +910,31 @@ class NNIndex:
         exceeds the engine ceiling (kernels/topk.py:
         PASSES_MAX_NEIGHBORS). All machinery is the shared
         kernels/topk.py:_radius_query loop over this index's prepared
-        top-K pipeline."""
+        top-K pipeline.
+
+        metric="cosine": ``radius`` is instead the MINIMUM similarity in
+        [-1, 1] (the exact L2 threshold over unit vectors is
+        sqrt(2 - 2*s_min)); rows come back (idx, similarity, count),
+        similarity descending, padding -1/-inf. metric="ip" has no
+        radius analog (inner product is unbounded per query) — raises."""
         from tpu_knn.kernels.topk import _radius_query
 
+        if self.metric == "ip":
+            raise ValueError(
+                "metric='ip' has no radius-query analog (the inner "
+                "product is not a distance); use query(neighbors=K)")
+        if self.metric == "cosine":
+            if not -1.0 <= radius <= 1.0:
+                raise ValueError(
+                    "metric='cosine': radius is a minimum similarity in "
+                    f"[-1, 1], got {radius}")
+            search = self._transform_q(search)
+            idx, d2, cnt = _radius_query(
+                lambda eff: self._query_topk(search, eff),
+                self.n_live, float(np.sqrt(max(2.0 - 2.0 * radius, 0.0))),
+                max_results)
+            _, sim = self._metric_scores(search, idx, d2)
+            return idx, sim, cnt
         return _radius_query(
             lambda eff: self._query_topk(search, eff),
             self.n_live, radius, max_results)
