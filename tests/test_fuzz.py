@@ -137,6 +137,47 @@ def _check_topk_properties(q, r, idx, d2, kk, tag):
         assert pairs == sorted(pairs), tag
 
 
+def test_fuzz_metric_indexes():
+    """Randomized sweep of the metric reductions (cosine/ip): selection
+    must equal the f64 brute force over the index's own STORED points at
+    every unambiguous rank; score vectors ordered; adversarial recipes
+    include exact scaled duplicates (bit-identical normalizations)."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(314)
+    for trial in range(5):
+        k = int(rng.integers(2, 17))
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(64, 4000))
+        kk = int(rng.integers(1, 9))
+        metric = ("cosine", "ip")[trial % 2]
+        recipe = ["uniform", "quantized", "duplicates"][int(rng.integers(3))]
+        q, r = make_data(int(rng.integers(1 << 30)), k, m, n, recipe)
+        q += 0.05
+        r += 0.05   # keep vectors nonzero for cosine
+        if metric == "cosine":   # exact scaled duplicates
+            for _ in range(4):
+                a, b = rng.integers(0, n, 2)
+                r[a] = r[b] * 4.0
+        ix = NNIndex(r, metric=metric)
+        stored = np.asarray(ix.ref_dev).astype(np.float64)
+        q_t = (np.asarray(ix._transform_q(q)) if metric == "cosine"
+               else np.pad(q, ((0, 0), (0, 1)))).astype(np.float64)
+        D = ((q_t[:, None, :] - stored[None, :, :]) ** 2).sum(-1)
+        idx, score = ix.query(q, neighbors=kk)
+        idx, score = np.asarray(idx), np.asarray(score)
+        tag = f"({metric},k={k},m={m},n={n},K={kk},{recipe})"
+        want_d = np.sort(D, axis=1)[:, :kk]
+        got_d = np.take_along_axis(D, idx, axis=1)
+        np.testing.assert_allclose(got_d, want_d, atol=1e-6, rtol=0,
+                                   err_msg=tag)
+        assert (np.diff(score, axis=1) <= 1e-5).all(), tag  # descending
+        for qi in range(m):
+            close = np.abs(D[qi] - want_d[qi, 0]) <= 1e-9
+            if close.sum() == 1:
+                assert idx[qi, 0] == int(np.nonzero(close)[0][0]), tag
+
+
 def test_fuzz_topk_batch_engines():
     """Batch-regime fuzz (the round-3 moment-extraction engine plus its
     certified fallback): adversarial recipes at m large enough that

@@ -224,16 +224,23 @@ class NNIndex:
             # quantized values — the kernels' f32 upcasts then agree
             # bit-exactly between candidate selection and refinement.
             dt = jnp.bfloat16 if store == "bf16" else jnp.float32
+            ref_t = jnp.asarray(ref)
+            if ref_t.dtype != dt:
+                # Quantize THROUGH f32 (one deterministic rounding); an
+                # input already in the stored dtype skips the round trip —
+                # bf16 -> f32 -> bf16 is the identity, and at n = 2^27 the
+                # f32 temp alone is 8 GB (the capacity regime store="bf16"
+                # exists for — scripts/r8_probe_capacity.py).
+                ref_t = jnp.asarray(ref_t, jnp.float32).astype(dt)
             if mutable:
-                self._init_mutable(jnp.asarray(ref, jnp.float32).astype(dt),
-                                   capacity)
+                self._init_mutable(ref_t, capacity)
                 return
             # Kernel operands prepared once on device (SoA layout; for the
             # default bf16x3 path: bf16 hi/lo splits + f32 norms).
             builder = _build_fused_candidates(8, self.n, self.k, 8,
                                               self.tile_n, soa=True,
                                               precision=precision)
-            self.ref_dev = jnp.asarray(ref, jnp.float32).astype(dt)  # AoS copy for exact refinement
+            self.ref_dev = ref_t  # AoS copy for exact refinement
             self.r_ops = jax.jit(builder.prep_soa)(self.ref_dev)
             jax.block_until_ready(self.r_ops)
             if strategy == "auto":
