@@ -33,6 +33,7 @@ from tpu_knn.engine.registry import get_version, list_versions, register_version
 #: does not touch jax device state.
 _LAZY = {
     "NNIndex": ("tpu_knn.engine.index", "NNIndex"),
+    "knn_graph": ("tpu_knn.api", "knn_graph"),
     "topk_knn": ("tpu_knn.kernels.topk", "topk_knn"),
     "within_radius": ("tpu_knn.kernels.topk", "within_radius"),
     "sharded_knn": ("tpu_knn.distributed.sharded", "sharded_knn"),
@@ -55,6 +56,7 @@ __all__ = [
     "nearest_neighbors",
     "knn_callback",
     "NNIndex",
+    "knn_graph",
     "topk_knn",
     "within_radius",
     "sharded_knn",

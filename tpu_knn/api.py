@@ -72,3 +72,45 @@ def nearest_neighbors(search, ref, version: str | None = None,
         idx, _d2 = topk_knn(search, ref, neighbors)
         return np.asarray(jax.device_get(idx), np.int32)
     return knn_callback(k, m, n, search, ref, version=version)
+
+
+def knn_graph(points, neighbors: int):
+    """Exact K-nearest-neighbor GRAPH of a point set: for each point,
+    the K nearest OTHER points (the manifold-learning / UMAP-style
+    primitive — no reference analog; the reference only queries one set
+    against another).
+
+    Self-exclusion is by INDEX, not by distance: duplicate points remain
+    each other's neighbors (a point is excluded only from its OWN row).
+    The engine queries the set against itself for K+1 results through
+    the exact top-K machinery (kernels/topk.py — the batch regime
+    auto-routes to the moment-extraction engine), then compacts the
+    self-entry out of each row: the K+1 nearest points of row i contain
+    at least K non-i points, and dropping i (or, when i is absent
+    because >= K+1 exact duplicates precede it, the trailing runner-up)
+    leaves exactly the K nearest others in (d2, index) order.
+
+    Returns (idx (n, K) i32, d2 (n, K) f32) device arrays, rows
+    ascending by exact (d2, index) — v0's tie rule per row.
+    """
+    import jax.numpy as jnp
+
+    from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, topk_knn
+
+    points = np.asarray(points, np.float32)
+    n = points.shape[0]
+    if not (1 <= neighbors <= min(n - 1, PASSES_MAX_NEIGHBORS - 1)):
+        raise ValueError(
+            f"neighbors must be in [1, min(n - 1, "
+            f"{PASSES_MAX_NEIGHBORS - 1})] = "
+            f"[1, {min(n - 1, PASSES_MAX_NEIGHBORS - 1)}], "
+            f"got {neighbors} (each point needs K OTHER points)")
+    idx, d2 = topk_knn(points, points, neighbors + 1)
+    keep = idx != jnp.arange(n, dtype=idx.dtype)[:, None]
+    # Stable compaction K+1 -> K: kept entries keep their rank order;
+    # the dropped slot (self, or the trailing extra) sinks to the end.
+    pos = jnp.where(keep, jnp.arange(neighbors + 1, dtype=jnp.int32)[None],
+                    jnp.int32(neighbors + 1))
+    order = jnp.argsort(pos, axis=1)[:, :neighbors]
+    return (jnp.take_along_axis(idx, order, axis=1),
+            jnp.take_along_axis(d2, order, axis=1))
