@@ -482,10 +482,13 @@ class NNIndex:
                         f"maximum {self._ip_m2:.6g} the augmentation was "
                         "sized for — rebuild the index with the larger "
                         "set")
+                # f32 arithmetic exactly as _transform_ref's (a Python-
+                # float m2 would promote the aug column through f64 and
+                # round differently from the build's).
+                aug = np.sqrt(np.maximum(np.float32(self._ip_m2)
+                                         - n2.astype(np.float32), 0))
                 points = np.concatenate(
-                    [points,
-                     np.sqrt(np.maximum(self._ip_m2 - n2, 0))[:, None]],
-                    axis=1)
+                    [points, aug.astype(np.float32)[:, None]], axis=1)
         points = jnp.asarray(points, jnp.float32)
         if points.ndim != 2 or points.shape[1] != self.k:
             raise ValueError(f"points must be (p, {self.k}), "
