@@ -1274,21 +1274,38 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             # Split into SEEDED_CHUNK_ROWS-row sub-batches, each a full
             # independent pipeline with its own certification/fallback
             # (cost-neutral vs unsplit since the Pallas compactor — see
-            # the constant's note — and compile-cache friendly).
+            # the constant's note). The chunk sweep is a PYTHON loop of
+            # async dispatches of ONE compiled chunk pipeline — measured
+            # against the alternatives at m = 2^17, k=16, K=15 (the
+            # knn_graph regime, v5e):
+            #   unrolled chunks inside one jit: clones the whole pipeline
+            #     (Pallas kernels + cond fallback) per chunk — ~150 s
+            #     compile for 128 copies; warm 0.22 s;
+            #   lax.map over a chunk axis: ONE body but the scan-wrapped
+            #     Pallas pipeline compiled ~4x SLOWER still (566 s);
+            #     warm 0.29 s;
+            #   this form: one ~17 s chunk compile; the loop enqueues all
+            #     chunks without readback (enqueue is ~12 us/dispatch,
+            #     docs/DISPATCH_DECOMP.json), so chunks pipeline on
+            #     device and warm time matches the fused program. Inside
+            #     an outer trace (bench amplification at m > 2048) the
+            #     jitted inner calls inline, degrading to the unrolled
+            #     form — correct either way. Ragged tails are edge-padded
+            #     into the last chunk, not compiled as a second size.
             c = SEEDED_CHUNK_ROWS
-            bounds = [(s, min(m, s + c)) for s in range(0, m, c)]
-            runs = {}
-            for s, e in bounds:
-                if e - s not in runs:
-                    runs[e - s] = _build_topk(e - s, n, k, kk, n_ops,
-                                              precision, "seeded")
+            m_pad = round_up(m, c)
+            inner = _build_topk(c, n, k, kk, n_ops, precision, "seeded")
 
-            @jax.jit
             def run_chunked(search, r_ops, ref_aos):
-                outs = [runs[e - s](search[s:e], r_ops, ref_aos)
-                        for s, e in bounds]
-                return (jnp.concatenate([o[0] for o in outs]),
-                        jnp.concatenate([o[1] for o in outs]))
+                q = search
+                if m_pad != m:
+                    q = jnp.concatenate(
+                        [q, jnp.broadcast_to(q[-1:],
+                                             (m_pad - m, q.shape[1]))])
+                outs = [inner(q[s:s + c], r_ops, ref_aos)
+                        for s in range(0, m_pad, c)]
+                return (jnp.concatenate([o[0] for o in outs])[:m],
+                        jnp.concatenate([o[1] for o in outs])[:m])
 
             return run_chunked
         if kk > SEEDED_ROUND_K:
