@@ -62,3 +62,38 @@ def test_graph_validation():
         tpu_knn.knn_graph(pts, 0)
     gi, gd = tpu_knn.knn_graph(pts, 7)
     assert np.asarray(gi).shape == (8, 7)
+
+
+def test_graph_sharded_mesh_matches_bruteforce():
+    """mesh=: the self-join runs dp x sp sharded (rows split as queries,
+    the same set scanned as sp shards); results must match the
+    single-chip graph's exact (d2, index) rows."""
+    from tpu_knn.distributed.sharded import default_mesh
+
+    rng = np.random.default_rng(11)
+    pts = rng.random((1_000, 5), np.float32)    # ragged over 4 sp shards
+    gi, gd = tpu_knn.knn_graph(pts, 6, mesh=default_mesh(dp=2, sp=4))
+    wi, wd = _gold(pts, 6)
+    np.testing.assert_array_equal(np.asarray(gi), wi)
+    np.testing.assert_allclose(np.asarray(gd), wd, rtol=1e-6)
+    assert not (np.asarray(gi) == np.arange(1_000)[:, None]).any()
+
+
+def test_graph_sharded_duplicates_across_shards():
+    """Exact duplicates planted in DIFFERENT sp shards: self-exclusion is
+    by index, so cross-shard copies must surface as d2=0 neighbors with
+    the lowest-index tie rule intact through the mesh merge."""
+    from tpu_knn.distributed.sharded import default_mesh
+
+    rng = np.random.default_rng(12)
+    n = 800
+    pts = rng.random((n, 4), np.float32)
+    dup = [3, 203, 403, 603]                 # one per sp=4 shard of 200
+    for i in dup[1:]:
+        pts[i] = pts[dup[0]]
+    gi, gd = tpu_knn.knn_graph(pts, 3, mesh=default_mesh(dp=1, sp=8))
+    gi, gd = np.asarray(gi), np.asarray(gd)
+    for i in dup:
+        others = [j for j in dup if j != i][:3]
+        assert list(gi[i]) == others, (i, gi[i])
+        np.testing.assert_array_equal(gd[i], 0.0)

@@ -74,7 +74,7 @@ def nearest_neighbors(search, ref, version: str | None = None,
     return knn_callback(k, m, n, search, ref, version=version)
 
 
-def knn_graph(points, neighbors: int):
+def knn_graph(points, neighbors: int, *, mesh=None):
     """Exact K-nearest-neighbor GRAPH of a point set: for each point,
     the K nearest OTHER points (the manifold-learning / UMAP-style
     primitive — no reference analog; the reference only queries one set
@@ -90,14 +90,28 @@ def knn_graph(points, neighbors: int):
     because >= K+1 exact duplicates precede it, the trailing runner-up)
     leaves exactly the K nearest others in (d2, index) order.
 
+    mesh: a ("dp", "sp")/("dcn", "dp", "sp") `jax.sharding.Mesh` runs
+    the self-join sharded (distributed/sharded.py): point ROWS split
+    over "dp" as queries while the SAME set shards over the reference
+    axes as the scanned operand, global rebase + top-K merge allreduce
+    over ICI; the row-local compaction below preserves the dp layout,
+    so the graph comes back sharded over its rows.
+
     Returns (idx (n, K) i32, d2 (n, K) f32) device arrays, rows
     ascending by exact (d2, index) — v0's tie rule per row.
     """
+    import jax
     import jax.numpy as jnp
 
     from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, topk_knn
 
-    points = np.asarray(points, np.float32)
+    # A device array stays on device: np.asarray here would round-trip
+    # n*k floats through the host (~0.5 s at 2^17 x 16 over the dev
+    # tunnel) just to re-upload them. Same policy as NNIndex.__init__.
+    if not isinstance(points, jax.Array):
+        points = np.asarray(points, np.float32)
+    elif points.dtype != jnp.float32:
+        points = points.astype(jnp.float32)
     n = points.shape[0]
     if not (1 <= neighbors <= min(n - 1, PASSES_MAX_NEIGHBORS - 1)):
         raise ValueError(
@@ -105,12 +119,24 @@ def knn_graph(points, neighbors: int):
             f"{PASSES_MAX_NEIGHBORS - 1})] = "
             f"[1, {min(n - 1, PASSES_MAX_NEIGHBORS - 1)}], "
             f"got {neighbors} (each point needs K OTHER points)")
-    idx, d2 = topk_knn(points, points, neighbors + 1)
-    keep = idx != jnp.arange(n, dtype=idx.dtype)[:, None]
-    # Stable compaction K+1 -> K: kept entries keep their rank order;
-    # the dropped slot (self, or the trailing extra) sinks to the end.
-    pos = jnp.where(keep, jnp.arange(neighbors + 1, dtype=jnp.int32)[None],
-                    jnp.int32(neighbors + 1))
-    order = jnp.argsort(pos, axis=1)[:, :neighbors]
-    return (jnp.take_along_axis(idx, order, axis=1),
-            jnp.take_along_axis(d2, order, axis=1))
+    if mesh is not None:
+        from tpu_knn.distributed.sharded import sharded_topk_knn
+
+        idx, d2 = sharded_topk_knn(points, points, neighbors + 1,
+                                   mesh=mesh)
+    else:
+        idx, d2 = topk_knn(points, points, neighbors + 1)
+
+    @jax.jit
+    def compact(idx, d2):
+        keep = idx != jnp.arange(n, dtype=idx.dtype)[:, None]
+        # Stable compaction K+1 -> K: kept entries keep their rank order;
+        # the dropped slot (self, or the trailing extra) sinks to the end.
+        pos = jnp.where(keep,
+                        jnp.arange(neighbors + 1, dtype=jnp.int32)[None],
+                        jnp.int32(neighbors + 1))
+        order = jnp.argsort(pos, axis=1)[:, :neighbors]
+        return (jnp.take_along_axis(idx, order, axis=1),
+                jnp.take_along_axis(d2, order, axis=1))
+
+    return compact(idx, d2)

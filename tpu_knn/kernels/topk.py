@@ -1284,14 +1284,19 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             #   lax.map over a chunk axis: ONE body but the scan-wrapped
             #     Pallas pipeline compiled ~4x SLOWER still (566 s);
             #     warm 0.29 s;
-            #   this form: one ~17 s chunk compile; the loop enqueues all
-            #     chunks without readback (enqueue is ~12 us/dispatch,
-            #     docs/DISPATCH_DECOMP.json), so chunks pipeline on
-            #     device and warm time matches the fused program. Inside
-            #     an outer trace (bench amplification at m > 2048) the
-            #     jitted inner calls inline, degrading to the unrolled
-            #     form — correct either way. Ragged tails are edge-padded
-            #     into the last chunk, not compiled as a second size.
+            #   this form: one ~5 s chunk compile (m=1024, n=2^17); the
+            #     loop enqueues all chunks without readback (enqueue is
+            #     ~12 us/dispatch, docs/DISPATCH_DECOMP.json), so chunks
+            #     pipeline on device and warm time matches the fused
+            #     program. Inside an outer trace (bench amplification at
+            #     m > 2048, or shard_map's per-shard body) the jitted
+            #     inner calls inline, degrading to the unrolled form —
+            #     correct either way, so callers that can stay eager
+            #     MUST (the `eager_chunked` marker below tells
+            #     _build_topk_percall and the prepared-index path not to
+            #     wrap this in an outer jit). Ragged tails are
+            #     edge-padded into the last chunk, not compiled as a
+            #     second size.
             c = SEEDED_CHUNK_ROWS
             m_pad = round_up(m, c)
             inner = _build_topk(c, n, k, kk, n_ops, precision, "seeded")
@@ -1307,6 +1312,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 return (jnp.concatenate([o[0] for o in outs])[:m],
                         jnp.concatenate([o[1] for o in outs])[:m])
 
+            run_chunked.eager_chunked = True
             return run_chunked
         if kk > SEEDED_ROUND_K:
             return _build_seeded_rounds(m, n, k, kk, n_ops, precision)
@@ -1625,6 +1631,21 @@ def _build_topk_percall(m: int, n: int, k: int, kk: int, precision: str,
     n_ops = round_up(n, tile_n)
     run = _build_topk(m, n, k, kk, n_ops, precision, method)
     k_pad = round_up(k, 8)
+
+    if getattr(run, "eager_chunked", False):
+        # Chunked seeded engine (m > 2 * SEEDED_CHUNK_ROWS): wrapping the
+        # Python dispatch loop in an outer jit would inline every chunk
+        # into one giant XLA program (measured 49 s compile at
+        # m = n = 2^17 vs 4.9 s for this form, identical outputs —
+        # scripts/r9_graph_cold_decomp2.py). Jit only the operand prep;
+        # the chunk calls enqueue eagerly and pipeline on device.
+        prep = jax.jit(
+            lambda r: jnp.pad(r, ((0, n_ops - n), (0, k_pad - k))).T)
+
+        def go(search, ref):
+            return run(search, (prep(ref),), ref)
+
+        return go
 
     @jax.jit
     def go(search, ref):
