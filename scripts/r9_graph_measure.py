@@ -21,14 +21,22 @@ def run(n, kk, k=16, seed=0):
                                    jnp.float32))()
     jax.block_until_ready(pts)
 
+    # block_until_ready does NOT force completion through the axon
+    # tunnel (scripts/r9_graph_cold_decomp2.py measured sub-ms "warm"
+    # for 1.17 s of device work): end every timed region in a host
+    # readback of a checksum that depends on every output row.
+    def sync(gi, gd):
+        import numpy as _np
+        return float(_np.asarray((gi.sum() + gd.sum().astype(gi.dtype))))
+
     t0 = time.perf_counter()
     gi, gd = tpu_knn.knn_graph(pts, kk)
-    jax.block_until_ready((gi, gd))
+    sync(gi, gd)
     cold_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     gi, gd = tpu_knn.knn_graph(pts, kk)
-    jax.block_until_ready((gi, gd))
+    sync(gi, gd)
     warm_s = time.perf_counter() - t0
 
     # Spot-gate 64 rows against on-device brute force (exact d2 +

@@ -11,9 +11,40 @@ single-chip fused path when only one device is present).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from tpu_knn.engine.registry import best_available_version, get_version
+
+
+@functools.lru_cache(maxsize=None)
+def _graph_compact(n: int, neighbors: int):
+    """Jitted K+1 -> K self-compaction for knn_graph, cached per
+    geometry (a jit defined per CALL would re-trace every time —
+    measured ~440 ms/call at (2^15, 16) before this was hoisted)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compact(idx, d2):
+        # Stable compaction by dropping ONE slot per row (the self
+        # entry, or the trailing runner-up when self is absent):
+        # out[j] = in[j] for j < drop else in[j+1] — an elementwise
+        # select between two SLICES. The obvious argsort-by-kept-rank
+        # formulation measured 15.4 s at (2^15, 16) on v5e (a tiny-
+        # minor-axis sort is a layout catastrophe — CLAUDE.md's lane-
+        # padding trap); this form is pure VPU.
+        pos = jnp.arange(neighbors + 1, dtype=jnp.int32)[None]
+        selfpos = jnp.where(
+            idx == jnp.arange(n, dtype=idx.dtype)[:, None],
+            pos, jnp.int32(neighbors))
+        drop = jnp.min(selfpos, axis=1, keepdims=True)   # (n, 1)
+        mask = pos[:, :neighbors] < drop                 # (n, K)
+        return (jnp.where(mask, idx[:, :neighbors], idx[:, 1:]),
+                jnp.where(mask, d2[:, :neighbors], d2[:, 1:]))
+
+    return compact
 
 
 def knn_callback(k: int, m: int, n: int, search, ref, version: str | None = None) -> np.ndarray:
@@ -127,16 +158,4 @@ def knn_graph(points, neighbors: int, *, mesh=None):
     else:
         idx, d2 = topk_knn(points, points, neighbors + 1)
 
-    @jax.jit
-    def compact(idx, d2):
-        keep = idx != jnp.arange(n, dtype=idx.dtype)[:, None]
-        # Stable compaction K+1 -> K: kept entries keep their rank order;
-        # the dropped slot (self, or the trailing extra) sinks to the end.
-        pos = jnp.where(keep,
-                        jnp.arange(neighbors + 1, dtype=jnp.int32)[None],
-                        jnp.int32(neighbors + 1))
-        order = jnp.argsort(pos, axis=1)[:, :neighbors]
-        return (jnp.take_along_axis(idx, order, axis=1),
-                jnp.take_along_axis(d2, order, axis=1))
-
-    return compact(idx, d2)
+    return _graph_compact(n, neighbors)(idx, d2)
