@@ -399,6 +399,80 @@ def main():
               file=sys.stderr, flush=True)
         del ixb, runb, opsb, iab, r1q, tkb, ib_q, db_q, if_q, df_q
 
+        # Quantized storage, int8 tier (store="int8", round 3): the
+        # (n, k) int8 GRID is the only resident state — 4x less HBM than
+        # f32 — and queries run the exact engines in grid space
+        # (engine/index.py:_init_int8). Gate: v2 differential in grid
+        # space (grid-scale distances make the ±1e-3 rule stricter).
+        t0 = time.time()
+        ixq = NNIndex(r1, store="int8")
+        buildq_s = time.time() - t0
+        runq, opsq = ixq.pipeline(1)
+
+        def int8_step(i, c, q, g):
+            eps = i.astype(jnp.float32) * 1e-9
+            ia, da = runq(q + eps, g)
+            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+
+        msq, itersq = calibrated_amplified_ms(int8_step, q1, *opsq)
+        iaq, _daq = runq(q1, *opsq)
+        qg = ixq._i8_q(q1)
+        grid32 = ixq.ref_dev.astype(jnp.float32)
+        errsq, totq = device_gate_vs_v2(qg, grid32, iaq)
+        details["rows"].append({
+            "name": "ds9_prepared_index_int8",
+            "k": 16, "m": 1, "n": 1 << 24, "ms": round(msq, 3),
+            "timing": f"amplified x{itersq}",
+            "prepare_s": round(buildq_s, 2),
+            "f32_ms": f32_row["ms"],
+            "index_hbm_mb": round(
+                int(np.prod(ixq.ref_dev.shape)) / 2**20),
+            "errors": f"{errsq}/{totq}",
+            "gate": "on-device v2 differential in grid space",
+            "note": "NNIndex(store='int8'): exact grid-space queries, "
+                    "4x less index HBM (scripts/r10_probe_int8*.py)",
+        })
+        if errsq:
+            print("CORRECTNESS FAILURE on ds9_prepared_index_int8",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# ds9 prepared-index int8 (m=1): {msq:.3f} ms "
+              f"errors {errsq}/{totq}", file=sys.stderr, flush=True)
+
+        # int8 m=1 top-K: the AoS cell engine straight off the int8 grid;
+        # the f32 run on the upcast grid computes identical f32
+        # arithmetic, so the gate is strict index equality.
+        from tpu_knn.kernels.topk import _build_aos_topk as _aos_tk
+
+        tkq = _aos_tk(1, 1 << 24, 16, 16)
+        iq_t, _ = tkq(qg, ixq.ref_dev)
+        if_t, _ = tkq(qg, grid32)
+        errstk = int(jax.device_get(jnp.sum(iq_t != if_t)))
+
+        def int8_tk_step(i, c, q, g):
+            ia, da = tkq(q + i.astype(jnp.float32) * 1e-9, g)
+            return c + da[0, 0] + jnp.sum(da) * 1e-9
+
+        mstk, iterstk = calibrated_amplified_ms(int8_tk_step, qg,
+                                                ixq.ref_dev)
+        details["rows"].append({
+            "name": "topk_serving_1x2^24_k16_K16_int8",
+            "k": 16, "m": 1, "n": 1 << 24, "neighbors": 16,
+            "ms": round(mstk, 3),
+            "timing": f"amplified x{iterstk}",
+            "errors": f"{errstk}/16",
+            "gate": "strict equality vs the f32 engine on the upcast "
+                    "grid",
+            "note": "m=1 AoS cell top-K off the int8 grid",
+        })
+        if errstk:
+            print("CORRECTNESS FAILURE on topk_serving_1x2^24_k16_K16_int8",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# topk m=1 K=16 int8: {mstk:.3f} ms errors {errstk}/16",
+              file=sys.stderr, flush=True)
+        del ixq, runq, opsq, iaq, qg, grid32, tkq, iq_t, if_t
+
         # v11 projection index, small-batch lookup niche: raw runner
         # timing (the certification sync is a tunnel artifact; see
         # kernels/projection.py docstring).

@@ -90,15 +90,22 @@ def _build_smallm_prepared(m: int, n: int, k: int, aos_ok: bool = True):
 
 @functools.lru_cache(maxsize=None)
 def _build_prepared_query(m: int, n: int, k: int, tile_m: int, tile_n: int,
-                          precision: str = DEFAULT_PRECISION):
+                          precision: str = DEFAULT_PRECISION,
+                          cutoff_scale: float = 1.0):
     """Query pipeline against a prepared (k_pad, n_pad) SoA array — the
-    same candidate kernel as v4 (prepadded_soa skips pad+transpose)."""
+    same candidate kernel as v4 (prepadded_soa skips pad+transpose).
+
+    ``cutoff_scale`` rescales the certified top-T selection cutoff for
+    callers whose coordinate space is a scaled embedding of the user's
+    (store="int8" queries run in integer grid space, where score
+    magnitudes AND resolvable distance gaps both scale by 1/s^2 — the
+    certificate's absolute-error budget must scale with them)."""
     from tpu_knn.kernels.fused import _refine, select_cutoff
 
     candidates = _build_fused_candidates(m, n, k, tile_m, tile_n, soa=True,
                                          precision=precision,
                                          prepadded_soa=True)
-    cutoff = select_cutoff(precision, k)
+    cutoff = select_cutoff(precision, k) * cutoff_scale
 
     @jax.jit
     def run(search, r_ops, ref_aos):
@@ -135,6 +142,23 @@ class NNIndex:
         scan paths (measured: scripts/r8_probe_bf16.py). Queries are
         still f32; ties still break to the lowest index among exact-
         equal f32 distances over the stored points.
+
+        store="int8" (fused, immutable, l2): quantize ONCE onto an
+        affine int8 grid p = z + s*g (per-dim zero offsets z, one
+        global scale s covering the data's widest half-range in 127
+        steps). The ONLY resident state is the (n, k) int8 grid — 4x
+        less HBM than f32 (4x the points per chip) — and queries run
+        the existing exact engines in GRID space on the transformed
+        query q' = (q - z)/s: selection, top-K order, and the v0
+        lowest-index tie rule are exact over the stored grid points
+        (grid integers are exact in f32/bf16 at every read site), with
+        reported d2 rescaled by s^2 (monotone). The query transform
+        rounds q' once per coordinate — the same query-side rounding
+        metric="cosine" accepts. Measured: m=1 1-NN 0.50 ms and top-16
+        0.88 ms at (16, 1, 2^24) vs 0.82/1.26 bf16 (read-bound AoS
+        scans at the 4x-smaller footprint; scripts/r10_probe_int8.py);
+        batch queries materialize a bf16 grid operand per call (the
+        memory contract: steady batch serving belongs to store="bf16").
 
         metric="cosine"/"ip" (fused/sharded): similarity search through
         the SAME exact-L2 machinery via a build-time transform — the
@@ -173,14 +197,30 @@ class NNIndex:
                 "quantizing after the metric transform breaks the exact "
                 "monotone reduction to L2 (see the class docstring)")
         self.metric = metric
-        if store not in ("float32", "bf16"):
-            raise ValueError(f"store must be 'float32' or 'bf16', "
-                             f"got {store!r}")
+        if store not in ("float32", "bf16", "int8"):
+            raise ValueError(f"store must be 'float32', 'bf16', or "
+                             f"'int8', got {store!r}")
         if store == "bf16" and strategy not in ("fused", "sharded"):
             raise ValueError(
                 "store='bf16' requires strategy='fused' or 'sharded' "
                 "(the spatial indexes bake f32 structures into their "
                 f"build); got {strategy!r}")
+        if store == "int8":
+            # The int8 mode stores ONLY the (n, k) int8 grid — no SoA
+            # operand (batch queries materialize one per call) — so the
+            # strategies/features that keep masked or sharded operand
+            # state have nothing to hang it on. bf16 covers those.
+            if strategy != "fused":
+                raise ValueError(
+                    "store='int8' requires strategy='fused' (the grid "
+                    "array is the only resident state; sharded/spatial "
+                    f"builds keep f32/bf16 structures); got {strategy!r}")
+            if mutable:
+                raise ValueError(
+                    "store='int8' is immutable (the quantization grid is "
+                    "fixed by the build-time value range; out-of-range "
+                    "adds would clip) — use store='bf16' for a mutable "
+                    "quantized index")
         self.store = store
         # Device-only strategies take a jax array as-is (no host round
         # trip, which costs seconds over the dev tunnel at n=2^24);
@@ -219,6 +259,9 @@ class NNIndex:
             # silently used tile_n=2048 instead of the packed path's 8192.
             _, self.tile_n = pick_tiles(self.k, 1024, self.n,
                                         wide=precision == "packed")
+            if store == "int8":
+                self._init_int8(ref)
+                return
             # bf16 store quantizes ONCE, then derives BOTH operands (the
             # AoS rerank copy and the SoA scan operand) from the same
             # quantized values — the kernels' f32 upcasts then agree
@@ -384,6 +427,96 @@ class NNIndex:
         q = search_t[:, None, :] if idx.ndim == 2 else search_t
         ip = jnp.sum(pts * q, axis=-1)  # aug column x q's 0 column = 0
         return idx, jnp.where(valid, ip, -jnp.inf)
+
+    # ---- int8 grid storage (quantized serving mode) ------------------
+    #
+    # store="int8" keeps the reference set as an (n, k) int8 GRID — one
+    # byte per coordinate, 4x less HBM than f32 (measured compact on
+    # TPU, scripts/r10_probe_int8.py) — and runs every query EXACTLY in
+    # grid space: the grid is an affine embedding p = z + s*g with a
+    # per-dim zero offset z and ONE positive global scale s, so
+    # ||q - p||^2 = s^2 * ||q' - g||^2 for the transformed query
+    # q' = (q - z)/s. Engines therefore need NO per-element dequant:
+    # int8 upcasts to exact small-integer f32 at the read site and the
+    # whole existing exact-selection machinery (diff-form scans, packed
+    # MXU scores + certified rerank, top-K engines, v0 tie rule) runs
+    # unchanged over (q', g); reported d2 rescale by s^2 on output
+    # (monotone — order and ties are grid-exact). The one rounding in
+    # q' is the same query-side rounding metric="cosine" already
+    # accepts (q/||q||); the contract is "exact 1-NN of the embedded
+    # query over the stored grid points".
+
+    def _init_int8(self, ref):
+        ref_t = jnp.asarray(ref)
+        if ref_t.dtype != jnp.float32:
+            ref_t = ref_t.astype(jnp.float32)
+        lo = np.asarray(jax.device_get(jnp.min(ref_t, axis=0)), np.float64)
+        hi = np.asarray(jax.device_get(jnp.max(ref_t, axis=0)), np.float64)
+        z = (lo + hi) / 2.0
+        half = float(np.max(hi - z)) if ref_t.shape[1] else 0.0
+        s = half / 127.0 if half > 0.0 else 1.0
+        inv_s = np.float32(1.0 / s)
+        self._i8_zero = np.asarray(z, np.float32)      # (k,) host copy
+        self._i8_inv_s = inv_s
+        # d2 scale derives from the STORED inv_s (the embed's only
+        # constant) so save/load round-trips bit-identically.
+        self._i8_s2 = float(np.float32(1.0 / (np.float64(inv_s) ** 2)))
+        self._i8_zero_dev = jnp.asarray(self._i8_zero)
+        g = jnp.clip(jnp.round((ref_t - self._i8_zero_dev) * inv_s),
+                     -127.0, 127.0).astype(jnp.int8)
+        self.ref_dev = jax.block_until_ready(g)
+        self.r_ops = None          # no resident SoA operand — that is
+        self._i8_ops_fn = None     # the mode's memory contract
+
+    @classmethod
+    def _from_int8_grid(cls, grid, zero, inv_s, precision):
+        """Rebuild from persisted grid state (load()): re-quantizing is
+        neither possible (the f32 points were not saved) nor wanted —
+        the grid IS the index."""
+        from tpu_knn.kernels.tuning import pick_tiles as _pick
+
+        ix = cls.__new__(cls)
+        ix.metric = "l2"
+        ix.store = "int8"
+        ix.strategy = "fused"
+        ix.mutable = False
+        ix.n, ix.k = grid.shape
+        ix.k_user = ix.k
+        ix.precision = precision
+        _, ix.tile_n = _pick(ix.k, 1024, ix.n, wide=precision == "packed")
+        ix._i8_zero = np.asarray(zero, np.float32)
+        ix._i8_inv_s = np.float32(inv_s)
+        ix._i8_s2 = float(np.float32(1.0 / (np.float64(ix._i8_inv_s) ** 2)))
+        ix._i8_zero_dev = jnp.asarray(ix._i8_zero)
+        ix.ref_dev = jnp.asarray(grid, jnp.int8)
+        ix.r_ops = None
+        ix._i8_ops_fn = None
+        return ix
+
+    def _i8_q(self, search):
+        """User-space query batch -> grid-space f32 (one rounding per
+        coordinate, the embed's definition)."""
+        search = jnp.asarray(search, jnp.float32)
+        if search.ndim != 2 or search.shape[1] != self.k:
+            raise ValueError(
+                f"queries must be (m, {self.k}), got {search.shape}")
+        return (search - self._i8_zero_dev) * self._i8_inv_s
+
+    def _i8_ops(self):
+        """Per-call dequantized SoA operand for the batch (m > 4 /
+        top-K m >= 2) engines: grid values are EXACT in bfloat16
+        (integers within +-127), so the batch pipelines compute the
+        same grid-space geometry the AoS scans do — route consistency.
+        Materialized per call and released after: the int8 mode's
+        memory contract is the (n, k) grid ONLY; steady batch serving
+        at lower prep cost is what store='bf16' is for."""
+        if self._i8_ops_fn is None:
+            builder = _build_fused_candidates(
+                8, self.n, self.k, 8, self.tile_n, soa=True,
+                precision=self.precision)
+            self._i8_ops_fn = jax.jit(
+                lambda g: builder.prep_soa(g.astype(jnp.bfloat16)))
+        return self._i8_ops_fn(self.ref_dev)
 
     # ---- mutable (dynamic-update) machinery -------------------------
 
@@ -568,6 +701,11 @@ class NNIndex:
         pass; per-query ad-hoc filters should instead post-filter a
         top-K result. Views are read-only (save/mutation: use the
         parent)."""
+        if self.store == "int8":
+            raise ValueError(
+                "filtered_view requires a resident SoA operand to mask; "
+                "store='int8' keeps only the grid array — use "
+                "store='bf16' for filtered quantized serving")
         if self.strategy not in ("fused", "auto") or len(self.r_ops) != 1:
             raise ValueError(
                 "filtered_view requires the fused/auto strategy with a "
@@ -690,6 +828,14 @@ class NNIndex:
             a = np.asarray(a)
             return a.view(np.uint16) if a.dtype.itemsize == 2 else a
 
+        if self.store == "int8":
+            # The grid IS the index: persist it with the embed constants
+            # (zero offsets + inv scale) — a restore must NOT re-derive
+            # them from data it no longer has.
+            np.savez_compressed(
+                path, ref=np.asarray(self.ref_dev),
+                i8_zero=self._i8_zero, i8_inv_s=self._i8_inv_s, **meta)
+            return
         if self.mutable:
             # Slot array as-is (removed slots are PAD sentinels) + the
             # live mask: ids survive the round trip.
@@ -708,6 +854,9 @@ class NNIndex:
             store = str(z["store"]) if "store" in z else "float32"
             metric = str(z["metric"]) if "metric" in z else "l2"
             ref = z["ref"]
+            if store == "int8":
+                return cls._from_int8_grid(ref, z["i8_zero"],
+                                           z["i8_inv_s"], precision)
             if store == "bf16":
                 # Saved as raw uint16 bits; the f32 upcast re-quantizes
                 # bit-identically in the constructor (bf16 -> f32 -> bf16
@@ -727,6 +876,7 @@ class NNIndex:
                 ix.n, ix.k = ix.ref.shape
                 ix.k_user = ix.k
                 ix.metric = "l2"
+                ix.store = "float32"
                 ix.strategy = "kdtree"
                 ix.mutable = False
                 ix.precision = precision
@@ -848,6 +998,8 @@ class NNIndex:
             raise ValueError("index has no live points")
         if self.metric != "l2":
             search = self._transform_q(search)
+        if self.store == "int8":
+            search = self._i8_q(search)   # grid space (see _init_int8)
         if neighbors is not None:
             idx, d2 = self._query_topk(search, neighbors)
             return self._metric_scores(search, idx, d2)
@@ -875,6 +1027,8 @@ class NNIndex:
         idx, d2 = self._query_padded(search, m)
         if mb != m:
             idx, d2 = idx[:m], d2[:m]
+        if self.store == "int8":
+            d2 = d2 * self._i8_s2   # back to user units (monotone)
         return self._metric_scores(search[:m], idx, d2)
 
     def pipeline(self, m: int):
@@ -889,6 +1043,8 @@ class NNIndex:
             raise ValueError(
                 f"pipeline() requires the fused/auto strategy, not "
                 f"{self.strategy!r}")
+        if self.store == "int8":
+            return self._i8_pipeline(m)
         from tpu_knn.kernels.smallm import smallm_applicable
 
         n = self._n_eff
@@ -901,6 +1057,45 @@ class NNIndex:
         run = _build_prepared_query(m, n, self.k, tile_m,
                                     self.tile_n, self.precision)
         return run, (self.r_ops, self.ref_dev)
+
+    def _i8_pipeline(self, m: int):
+        """pipeline() for the int8 mode: ONE jit containing the grid
+        transform, the route _query_padded would take, and the d2
+        rescale — so embedded/amplified timing measures the true
+        end-to-end serving cost (including, for batch m, the per-call
+        bf16 grid-operand materialization the mode's memory contract
+        implies)."""
+        from tpu_knn.kernels.dense import dense_applicable, _dense
+        from tpu_knn.kernels.smallm import SMALLM_MAX_M, _build_aos_scan
+
+        cache = self.__dict__.setdefault("_i8_pipe_cache", {})
+        if m not in cache:
+            z, inv_s = self._i8_zero_dev, self._i8_inv_s
+            s2 = self._i8_s2
+            if dense_applicable(m, self.k, self.n):
+                inner = _dense
+            elif m <= SMALLM_MAX_M:
+                inner = _build_aos_scan(m, self.n, self.k)
+            else:
+                builder = _build_fused_candidates(
+                    8, self.n, self.k, 8, self.tile_n, soa=True,
+                    precision=self.precision)
+                tile_m, _ = pick_tiles(self.k, m, self.n)
+                run_q = _build_prepared_query(
+                    m, self.n, self.k, tile_m, self.tile_n,
+                    self.precision, cutoff_scale=1.0 / s2)
+
+                def inner(qq, g, _b=builder, _r=run_q):
+                    return _r(qq, _b.prep_soa(g.astype(jnp.bfloat16)), g)
+
+            @jax.jit
+            def run(search, g, _inner=inner):
+                qq = (jnp.asarray(search, jnp.float32) - z) * inv_s
+                idx, d2 = _inner(qq, g)
+                return idx, d2 * s2
+
+            cache[m] = run
+        return cache[m], (self.ref_dev,)
 
     def query_radius(self, search, radius: float,
                      max_results: int | None = None):
@@ -945,6 +1140,11 @@ class NNIndex:
                 max_results)
             _, sim = self._metric_scores(search, idx, d2)
             return idx, sim, cnt
+        if self.store == "int8":
+            # Grid-space transform here; _query_topk returns USER-unit
+            # d2 (scaled on exit), so the radius compare below is in the
+            # user's units with no threshold transform.
+            search = self._i8_q(search)
         return _radius_query(
             lambda eff: self._query_topk(search, eff),
             self.n_live, radius, max_results)
@@ -970,6 +1170,8 @@ class NNIndex:
             return native.kdtree_query_topk(
                 np.ascontiguousarray(search, np.float32), self.ref,
                 self.tree.p, self.tree.dim, neighbors)
+        if self.store == "int8":
+            return self._i8_query_topk(search, neighbors)
         if self.strategy not in ("fused", "auto", "sharded") or (
                 self.strategy != "sharded" and len(self.r_ops) != 1):
             raise ValueError(
@@ -1019,8 +1221,67 @@ class NNIndex:
         idx, d2 = run(search, self.r_ops, self.ref_dev)
         return idx[:m], d2[:m]
 
+    def _i8_query_topk(self, search, neighbors: int):
+        """int8 top-K: ``search`` arrives ALREADY in grid space (the
+        public entries transform); returns user-unit d2. m=1 runs the
+        zero-prep AoS cell engine straight off the int8 grid (measured
+        2.3x the f32 scan, scripts/r10_probe_int8.py); m>=2 runs the
+        one-scan batch engines over a per-call bf16 grid operand
+        (_i8_ops — grid integers are bf16-exact, so every route reports
+        identical grid-space geometry)."""
+        from tpu_knn.kernels.topk import (
+            MAX_NEIGHBORS, PASSES_MAX_NEIGHBORS, _build_aos_topk,
+            _build_topk,
+        )
+
+        if not (1 <= neighbors <= min(self.n, PASSES_MAX_NEIGHBORS)):
+            raise ValueError(
+                f"neighbors must be in [1, min(n_live, "
+                f"{PASSES_MAX_NEIGHBORS})] = "
+                f"[1, {min(self.n, PASSES_MAX_NEIGHBORS)}], "
+                f"got {neighbors}")
+        search = jnp.asarray(search, jnp.float32)
+        m = search.shape[0]
+        mb = self._m_bucket(m) if self.bucket_m else m
+        if mb != m:
+            search = jnp.concatenate(
+                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        if mb == 1 and neighbors <= MAX_NEIGHBORS:
+            idx, d2 = _build_aos_topk(mb, self.n, self.k,
+                                      neighbors)(search, self.ref_dev)
+        else:
+            ops = self._i8_ops()
+            run = _build_topk(mb, self.n, self.k, neighbors,
+                              ops[0].shape[1], self.precision)
+            idx, d2 = run(search, ops, self.ref_dev)
+        return idx[:m], d2[:m] * self._i8_s2
+
     def _query_padded(self, search, m_true: int):
         m = search.shape[0]
+        if self.store == "int8":
+            # Grid-space 1-NN (search already transformed; query()
+            # rescales d2). m <= 4: the zero-prep XLA diff-form scan
+            # straight off the int8 grid — at 4x less HBM it beats even
+            # the prepared bf16 Pallas scan at every k (0.496 vs 0.817 ms
+            # at (16, 1, 2^24), scripts/r10_probe_int8.py). Small n: the
+            # dense exact path (same promotion). Batch m: the prepared
+            # MXU pipeline over the per-call bf16 grid operand, with the
+            # selection certificate rescaled to grid units (cutoff_scale
+            # — score magnitudes and resolvable gaps both grow 1/s^2).
+            from tpu_knn.kernels.dense import dense_applicable, _dense
+            from tpu_knn.kernels.smallm import SMALLM_MAX_M, _build_aos_scan
+
+            if dense_applicable(m, self.k, self.n):
+                return _dense(search, self.ref_dev)
+            if m <= SMALLM_MAX_M:
+                return _build_aos_scan(m, self.n, self.k)(search,
+                                                          self.ref_dev)
+            ops = self._i8_ops()
+            tile_m, _ = pick_tiles(self.k, m, self.n)
+            run = _build_prepared_query(m, self.n, self.k, tile_m,
+                                        self.tile_n, self.precision,
+                                        cutoff_scale=1.0 / self._i8_s2)
+            return run(search, ops, self.ref_dev)
         if self.strategy in ("fused", "auto"):
             if self.strategy == "auto":
                 from tpu_knn.kernels.projection import (
