@@ -249,3 +249,27 @@ def test_int8_d2_within_quantization_error():
     bound = (np.sqrt(k) * s) * (2 * np.sqrt(np.maximum(true, 1e-12))
                                 + np.sqrt(k) * s)
     assert (np.abs(np.asarray(d2) - true) <= bound + 1e-6).all()
+
+
+def test_int8_from_grid_constructor():
+    """from_int8_grid (the chunk-quantized capacity path) must behave
+    identically to an index built by the standard constructor when fed
+    the same grid state."""
+    rng = np.random.default_rng(12)
+    ref = rng.random((6_000, 5), np.float32) * 12.0 - 3.0
+    ix = NNIndex(ref, store="int8")
+    s = float(np.float32(1.0 / np.float64(ix._i8_inv_s)))
+    ix2 = NNIndex.from_int8_grid(np.asarray(ix.ref_dev), ix._i8_zero, s)
+    assert ix2.store == "int8" and ix2.r_ops is None
+    q = rng.random((16, 5), np.float32) * 12.0 - 3.0
+    for kk in (None, 6):
+        a = ix.query(q, neighbors=kk)
+        b = ix2.query(q, neighbors=kk)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    with pytest.raises(ValueError, match="int8"):
+        NNIndex.from_int8_grid(ref, ix._i8_zero, s)   # f32 input
+    with pytest.raises(ValueError, match="positive"):
+        NNIndex.from_int8_grid(np.asarray(ix.ref_dev), ix._i8_zero, 0.0)
+    with pytest.raises(ValueError, match="zero must be"):
+        NNIndex.from_int8_grid(np.asarray(ix.ref_dev),
+                               np.zeros(3, np.float32), s)

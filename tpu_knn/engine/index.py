@@ -469,6 +469,40 @@ class NNIndex:
         self._i8_ops_fn = None     # the mode's memory contract
 
     @classmethod
+    def from_int8_grid(cls, grid, zero, scale,
+                       precision: str | None = None) -> "NNIndex":
+        """Build an int8 index directly from pre-quantized grid state:
+        ``grid`` (n, k) int8, ``zero`` (k,) f32 per-dim offsets, ``scale``
+        the positive global step — the stored points are z + scale*g.
+
+        This is the CAPACITY path: the standard constructor derives the
+        embed from an f32 source it must hold whole, which caps the
+        index at the f32 array's footprint (8 GB at (2^27, 16)); a
+        caller chunk-quantizing on the fly (or restoring an external
+        grid) can build 4x past that — measured to 2^28 points at k=16
+        on one 16 GB v5e (scripts/r10_probe_int8_capacity.py). Queries,
+        top-K, radius, and save/load behave exactly as NNIndex(...,
+        store="int8")."""
+        grid = jnp.asarray(grid)
+        if grid.dtype != jnp.int8 or grid.ndim != 2:
+            raise ValueError(
+                f"grid must be an (n, k) int8 array, got {grid.dtype} "
+                f"{grid.shape}")
+        zero = np.ascontiguousarray(zero, np.float32)
+        if zero.shape != (grid.shape[1],):
+            raise ValueError(
+                f"zero must be ({grid.shape[1]},) f32, got {zero.shape}")
+        if not float(scale) > 0.0:
+            raise ValueError(f"scale must be positive, got {scale}")
+        if precision is None:
+            from tpu_knn.kernels.fused import auto_precision
+
+            precision = auto_precision(grid.shape[1], grid.shape[0])
+        return cls._from_int8_grid(grid, zero,
+                                   np.float32(1.0 / np.float64(scale)),
+                                   precision)
+
+    @classmethod
     def _from_int8_grid(cls, grid, zero, inv_s, precision):
         """Rebuild from persisted grid state (load()): re-quantizing is
         neither possible (the f32 points were not saved) nor wanted —
