@@ -87,6 +87,62 @@ def device_gate_vs_v2(q, r, idx) -> tuple:
     return errors, int(q.shape[0])
 
 
+def _make_pin():
+    """Build ``pin(x)``: force ``x`` fully materialized in its default
+    layout by routing it through a no-op Pallas probe kernel, returning a
+    tiny (<=8 x <=128) f32 corner block to fold into a timing carry.
+
+    Why this exists (review r3): a timing step must consume the stage
+    under test in a way XLA cannot optimize away, and for a LAYOUT stage
+    every jnp-level consumption fails — a corner read dead-code-eliminates
+    the relayout entirely (measured 0.0001 ms at any n), and a checksum
+    commutes through the transpose (reduce(transpose(x)) = reduce(x), so
+    the transpose is never built). A custom call is the one fence XLA
+    must respect: its operand cannot be sliced, DCE'd, or layout-elided —
+    which is also exactly the boundary the real pipeline imposes, since
+    the prep output feeds the Pallas candidates kernel
+    (scripts/r11_probe_prep_dce.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    interpret = jax.default_backend() != "tpu"
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...].astype(jnp.float32)
+
+    def pin(x):
+        r0 = min(8, x.shape[0])
+        c0 = min(128, x.shape[1])
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((r0, c0), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((r0, c0), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((r0, c0), jnp.float32),
+            interpret=interpret,
+        )(x)
+
+    return pin
+
+
+def _consume(c, *outs):
+    """Fold a full checksum of every output into the timing carry.
+
+    CLAUDE.md "Timing-step DCE trap": a carry that reads only row 0 lets
+    XLA slice every per-row stage AFTER the Pallas kernel (the exact-d2
+    refinement's gathers, top-K finalization sorts) down to one row —
+    review r3 caught the committed per-call/prepared/top-K rows doing
+    exactly that. A jnp.sum over each output depends on every row; its
+    own cost at (m, K) <= (1024, 128) is nanoseconds against the
+    kernels measured."""
+    import jax.numpy as jnp
+
+    for o in outs:
+        c = c + jnp.sum(o.astype(jnp.float32)) * 1e-9
+    return c
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -94,6 +150,8 @@ def main():
     from tpu_knn.harness.checker import check_results
     from tpu_knn.harness.timing import amplified_ms, calibrated_amplified_ms
     from tpu_knn.kernels.fused import fused_knn
+
+    pin = _make_pin()
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -161,14 +219,15 @@ def main():
         def percall_step(i, c, q, r):
             eps = i.astype(jnp.float32) * 1e-9
             idx_a, d2_a = fused_knn(q + eps, r + eps)
-            return c + d2_a[0] + idx_a[0].astype(jnp.float32) * 1e-9
+            return _consume(c, d2_a, idx_a)
 
         ms, iters = calibrated_amplified_ms(percall_step, q, r)
 
-        # The prep (AoS -> padded SoA relayout) alone: in a prep-only
-        # program the eps-add fuses into its read pass, so this is the
-        # clean relayout cost (measured at ~480-610 GB/s — the layout
-        # canonicalization floor, scripts/r3_probe_prep.py).
+        # The prep (AoS -> padded SoA relayout) alone: the output is
+        # pinned through the Pallas probe fence (see _make_pin — any
+        # jnp-level consumption either DCEs the relayout or commutes the
+        # checksum through it), and the eps-add fuses into the read pass,
+        # so this is the clean materialized-relayout cost.
         from tpu_knn.utils.shapes import round_up as _ru
 
         _kp = _ru(k, 8)
@@ -179,7 +238,9 @@ def main():
 
         def prep_step(i, c, r):
             out = _prep(r + i.astype(jnp.float32) * 1e-9)
-            return c + out[0, 0] + out[-1, -1]
+            # pin(): custom-call fence — a corner read is DCE'd and a
+            # checksum commutes through the transpose (see _make_pin).
+            return c + jnp.sum(pin(out))
 
         prep_ms, _pit = calibrated_amplified_ms(prep_step, r)
 
@@ -267,7 +328,7 @@ def main():
         def prep_step(i, c, q, ops):
             eps = i.astype(jnp.float32) * 1e-9
             ia, da = run_prep(q + eps, *ops)
-            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+            return _consume(c, da, ia)
 
         ms, iters = calibrated_amplified_ms(prep_step, q, ops)
         details["rows"].append({
@@ -300,7 +361,7 @@ def main():
             def small_step(i, c, q, ops, run1=run1):
                 eps = i.astype(jnp.float32) * 1e-9
                 ia, da = run1(q + eps, *ops)
-                return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+                return _consume(c, da, ia)
 
             ms1, iters1 = calibrated_amplified_ms(small_step, q1, ops1)
             ia1, _da1 = run1(q1, *ops1)
@@ -337,7 +398,7 @@ def main():
         def bf16_step(i, c, q, ops):
             eps = i.astype(jnp.float32) * 1e-9
             ia, da = runb(q + eps, *ops)
-            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+            return _consume(c, da, ia)
 
         msb, itersb = calibrated_amplified_ms(bf16_step, q1, opsb)
         iab, _dab = runb(q1, *opsb)
@@ -378,7 +439,7 @@ def main():
 
         def bf16_tk_step(i, c, q, rdev):
             ia, da = tkb(q + i.astype(jnp.float32) * 1e-9, rdev)
-            return c + da[0, 0] + jnp.sum(da) * 1e-9
+            return _consume(c, da, ia)
 
         msk, itersk = calibrated_amplified_ms(bf16_tk_step, q1, ixb.ref_dev)
         details["rows"].append({
@@ -412,7 +473,7 @@ def main():
         def int8_step(i, c, q, g):
             eps = i.astype(jnp.float32) * 1e-9
             ia, da = runq(q + eps, g)
-            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+            return _consume(c, da, ia)
 
         msq, itersq = calibrated_amplified_ms(int8_step, q1, *opsq)
         iaq, _daq = runq(q1, *opsq)
@@ -451,7 +512,7 @@ def main():
 
         def int8_tk_step(i, c, q, g):
             ia, da = tkq(q + i.astype(jnp.float32) * 1e-9, g)
-            return c + da[0, 0] + jnp.sum(da) * 1e-9
+            return _consume(c, da, ia)
 
         mstk, iterstk = calibrated_amplified_ms(int8_tk_step, qg,
                                                 ixq.ref_dev)
@@ -496,8 +557,8 @@ def main():
 
         def v11_step(i, c, qv, pre):
             eps = i.astype(jnp.float32) * 1e-9
-            ia, da, _ok = runner(qv + eps, *pre)
-            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+            ia, da, ok = runner(qv + eps, *pre)
+            return _consume(c, da, ia, ok)
 
         v11_ms, v11_iters = calibrated_amplified_ms(v11_step, qv, pre)
         details["rows"].append({
@@ -532,8 +593,8 @@ def main():
 
             def auto_step(i, c, qb, ref_dev, proj):
                 eps = i.astype(jnp.float32) * 1e-9
-                ja, ea, _ok = run_auto(qb + eps, ref_dev, *proj)
-                return c + ea[0] + ja[0].astype(jnp.float32) * 1e-9
+                ja, ea, ok = run_auto(qb + eps, ref_dev, *proj)
+                return _consume(c, ea, ja, ok)
 
             auto_ms, auto_iters = calibrated_amplified_ms(
                 auto_step, qb, index.ref_dev, index.proj_index)
@@ -607,7 +668,7 @@ def main():
         def v10_step(i, c, qd, tree_ops):
             eps = i.astype(jnp.float32) * 1e-9
             ia, da = _batched_traverse(qd + eps, *tree_ops, dev_tree.cap)
-            return c + da[0] + ia[0].astype(jnp.float32) * 1e-9
+            return _consume(c, da, ia)
 
         v10_ms = amplified_ms(v10_step, qd, tree_ops, iters=2, reps=1)
         errs_v10 = int(np.sum(np.asarray(iv) != np.asarray(ik)))
@@ -716,7 +777,7 @@ def main():
 
             def tk_step(i, c, q_t, my_op, r_t, mine=mine):
                 ia, da = mine(q_t + i.astype(jnp.float32) * 1e-9, my_op, r_t)
-                return c + da[0, 0] + ia[0, 0].astype(jnp.float32) * 1e-9
+                return _consume(c, da, ia)
 
             tk_ms, tk_iters = calibrated_amplified_ms(tk_step, q_t, my_op,
                                                       r_t)

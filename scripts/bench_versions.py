@@ -131,8 +131,11 @@ def main():
                 continue
             try:
                 def step(i, c, q, r, fn=fn):
+                    # Full-row checksum (review r3: a row-0 read lets XLA
+                    # slice per-row epilogues after the kernel).
                     eps = i.astype(jnp.float32) * 1e-9
-                    return c + fn(q + eps, r + eps)[0].astype(jnp.float32) * 1e-9
+                    return c + jnp.sum(
+                        fn(q + eps, r + eps).astype(jnp.float32)) * 1e-9
 
                 ms, _iters = calibrated_amplified_ms(step, q, r,
                                                      target_ms=300.0)
@@ -181,7 +184,7 @@ def main():
 
             def step10(i, c, qd):
                 idx, _ = dt.query(qd + i.astype(jnp.float32) * 1e-9)
-                return c + idx[0].astype(jnp.float32) * 1e-9
+                return c + jnp.sum(idx.astype(jnp.float32)) * 1e-9
 
             ms10 = amplified_ms(step10, qd, iters=2, reps=2)
             tree_rows.append(("v10 (batched TPU traversal)", float("nan"),
@@ -210,7 +213,9 @@ def main():
 
         def step11(i, c, q, r, *pre):
             out, d2, ok = run11(q + i.astype(jnp.float32) * 1e-9, r, *pre)
-            return c + d2[0] + out[0].astype(jnp.float32) * 1e-9
+            return (c + jnp.sum(d2)
+                    + jnp.sum(out.astype(jnp.float32)) * 1e-9
+                    + jnp.sum(ok.astype(jnp.float32)) * 1e-9)
 
         ms11, _ = calibrated_amplified_ms(step11, q11, r11, *idx11,
                                           target_ms=300.0)

@@ -30,6 +30,22 @@ import pytest
 from tpu_knn.harness.generator import TA_SHAPES, ta_sample_stream
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_executables():
+    """Clear jit caches after every test module.
+
+    Each XLA:CPU executable holds anonymous mmap regions (JIT code +
+    data pages) that are only released when the executable is freed; a
+    full-suite run accumulates >60k mappings and segfaults INSIDE an XLA
+    compile when the kernel's vm.max_map_count (default 65530) is hit —
+    observed at ~80% of the suite, in whatever compile happened to run
+    there (r3: v5's dma_knn). Within-module caching (parametrized tests
+    re-hitting one build) is preserved; cross-module reuse is rare and
+    recompiles are cheap next to the crash."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ta_datasets():
     """The 8 TA datasets with their glibc-rand-exact inputs, as a list of

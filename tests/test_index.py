@@ -427,6 +427,41 @@ def test_auto_projection_feedback_keeps_good_distribution():
         proj_mod.projection_wins = orig
 
 
+def test_auto_projection_feedback_rate_is_per_window():
+    """Review r3: the demotion rate must be per-feedback-window, not
+    lifetime-cumulative — after ANY number of well-certifying windows, a
+    distribution shift to uncertifiable queries must demote within ONE
+    window, not after the bad batches outnumber the good history."""
+    from tpu_knn.kernels import projection as proj_mod
+
+    rng = np.random.default_rng(8)
+    ref = rng.random((30_000, 3), np.float32)
+    index = NNIndex(ref, strategy="auto")
+    assert index.proj_index is not None
+    axis = int(np.asarray(index.proj_index[2]))
+    orig = proj_mod.projection_wins
+    proj_mod.projection_wins = lambda k, m, n: m <= 64
+    try:
+        # Three full windows of in-distribution serving: rate 1.0 history.
+        for _ in range(3 * index.PROJ_FEEDBACK_PERIOD):
+            index.query(rng.random((8, 3), np.float32))
+        assert not index.proj_demoted
+        # Shift: orthogonally displaced queries certify ~never. Under the
+        # old cumulative rule the 3-window good history (rate 3/4 after
+        # one bad window) would keep the route alive for 2+ more windows.
+        q = rng.random((8, 3), np.float32)
+        for a in range(3):
+            if a != axis:
+                q[:, a] += 40.0
+        for _ in range(index.PROJ_FEEDBACK_PERIOD):
+            idx, _ = index.query(q)
+            np.testing.assert_array_equal(np.asarray(idx), oracle(q, ref))
+        assert index.proj_demoted and index.proj_index is None
+        assert index.realized_cert_rate < index.PROJ_REALIZED_MIN
+    finally:
+        proj_mod.projection_wins = orig
+
+
 def test_auto_adversarial_scales_and_identical_projections():
     """Adversarial fuzz for the auto route (VERDICT r2 item 5): queries
     at out-of-range coordinate scale and reference sets with identical

@@ -960,17 +960,23 @@ class NNIndex:
     def _note_projection_batch(self, ok):
         """Accumulate the served batch's certification outcome on device
         (no sync); every PROJ_FEEDBACK_PERIOD batches, one scalar
-        readback computes the realized rate and demotes the projection
-        route if it fell below PROJ_REALIZED_MIN — the guard-verify-
-        delegate discipline (core.cu:481-485) applied to the routing
-        decision itself, closing VERDICT r2 item 5's open loop."""
+        readback computes the realized rate OF THAT WINDOW and demotes
+        the projection route if it fell below PROJ_REALIZED_MIN — the
+        guard-verify-delegate discipline (core.cu:481-485) applied to the
+        routing decision itself, closing VERDICT r2 item 5's open loop.
+
+        The rate is per-window, not lifetime-cumulative (review r3): a
+        serving distribution that certifies well for N batches and then
+        shifts must be demoted within one window of the shift, not after
+        the bad batches outnumber the good ones."""
         batch_ok = jnp.all(ok).astype(jnp.float32)
         self._proj_ok_sum = (batch_ok if self._proj_ok_sum is None
                              else self._proj_ok_sum + batch_ok)
         self._proj_batches += 1
         if self._proj_batches % self.PROJ_FEEDBACK_PERIOD == 0:
             realized = (float(jax.device_get(self._proj_ok_sum))
-                        / self._proj_batches)
+                        / self.PROJ_FEEDBACK_PERIOD)
+            self._proj_ok_sum = None  # window reset
             self.realized_cert_rate = realized
             if realized < self.PROJ_REALIZED_MIN:
                 self.proj_index = None
@@ -1184,7 +1190,7 @@ class NNIndex:
             self.n_live, radius, max_results)
 
     def _query_topk(self, search, neighbors: int):
-        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS, _build_topk
+        from tpu_knn.kernels.topk import _build_topk
 
         if self.strategy == "kdtree" and self.use_native_query:
             # Native CPU tree K-NN: bounded (d2, idx) max-heap per query
@@ -1212,18 +1218,7 @@ class NNIndex:
                 "neighbors>1 requires the fused/auto/sharded strategy "
                 "(prepared SoA operand) or the native kdtree backend; "
                 f"this index uses {self.strategy!r}")
-        if not (1 <= neighbors <= min(self.n_live, PASSES_MAX_NEIGHBORS)):
-            raise ValueError(
-                f"neighbors must be in [1, min(n_live, "
-                f"{PASSES_MAX_NEIGHBORS})] = "
-                f"[1, {min(self.n_live, PASSES_MAX_NEIGHBORS)}], "
-                f"got {neighbors}")
-        search = jnp.asarray(search, jnp.float32)
-        m = search.shape[0]
-        mb = self._m_bucket(m) if self.bucket_m else m
-        if mb != m:
-            search = jnp.concatenate(
-                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        search, m, mb = self._topk_prep_batch(search, neighbors)
         if self.strategy == "sharded":
             # Prepared multi-chip top-K: both shard-resident operands
             # (AoS for the exact rerank, SoA for the scan) built once at
@@ -1255,6 +1250,26 @@ class NNIndex:
         idx, d2 = run(search, self.r_ops, self.ref_dev)
         return idx[:m], d2[:m]
 
+    def _topk_prep_batch(self, search, neighbors: int):
+        """Shared top-K entry: validate the K cap, coerce the batch, and
+        bucket+edge-pad m. One copy (review r3: the f32 and int8 entries
+        carried two 15-line clones whose error messages had already
+        drifted). Returns (search (mb, k) f32, m, mb)."""
+        from tpu_knn.kernels.topk import PASSES_MAX_NEIGHBORS
+
+        cap = min(self.n_live, PASSES_MAX_NEIGHBORS)
+        if not (1 <= neighbors <= cap):
+            raise ValueError(
+                f"neighbors must be in [1, min(n_live, "
+                f"{PASSES_MAX_NEIGHBORS})] = [1, {cap}], got {neighbors}")
+        search = jnp.asarray(search, jnp.float32)
+        m = search.shape[0]
+        mb = self._m_bucket(m) if self.bucket_m else m
+        if mb != m:
+            search = jnp.concatenate(
+                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        return search, m, mb
+
     def _i8_query_topk(self, search, neighbors: int):
         """int8 top-K: ``search`` arrives ALREADY in grid space (the
         public entries transform); returns user-unit d2. m=1 runs the
@@ -1264,22 +1279,10 @@ class NNIndex:
         (_i8_ops — grid integers are bf16-exact, so every route reports
         identical grid-space geometry)."""
         from tpu_knn.kernels.topk import (
-            MAX_NEIGHBORS, PASSES_MAX_NEIGHBORS, _build_aos_topk,
-            _build_topk,
+            MAX_NEIGHBORS, _build_aos_topk, _build_topk,
         )
 
-        if not (1 <= neighbors <= min(self.n, PASSES_MAX_NEIGHBORS)):
-            raise ValueError(
-                f"neighbors must be in [1, min(n_live, "
-                f"{PASSES_MAX_NEIGHBORS})] = "
-                f"[1, {min(self.n, PASSES_MAX_NEIGHBORS)}], "
-                f"got {neighbors}")
-        search = jnp.asarray(search, jnp.float32)
-        m = search.shape[0]
-        mb = self._m_bucket(m) if self.bucket_m else m
-        if mb != m:
-            search = jnp.concatenate(
-                [search, jnp.broadcast_to(search[-1:], (mb - m, self.k))])
+        search, m, mb = self._topk_prep_batch(search, neighbors)
         if mb == 1 and neighbors <= MAX_NEIGHBORS:
             idx, d2 = _build_aos_topk(mb, self.n, self.k,
                                       neighbors)(search, self.ref_dev)

@@ -1074,6 +1074,35 @@ def _exact_rerank(search, ref_aos, cols, kk: int, n: int):
     return idx_k, d2s[:, :kk]
 
 
+def _inflate_bound(bound, lo=None):
+    """Safety inflation of a seeded score bound — ONE copy of the
+    correctness-relevant constants, shared by the single-round and
+    banded-rounds engines (review r3: they carried verbatim clones that
+    a future retune could silently de-synchronize). A LOOSER bound is
+    always safe (it only admits extra qualifiers): 9.54e-7 ~ 2^-20
+    relative covers the score reduction error, +1e-35 keeps a zero
+    bound strictly inflating, and NaN bounds (inf-coordinate data)
+    become +inf, which floods the qualifier counts and trips the
+    certified fallback — never a silent miss. ``lo`` (the rounds
+    engine's band floor) keeps the half-open band monotone."""
+    bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
+    bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+    if lo is not None:
+        bound = jnp.maximum(bound, lo)
+    return bound
+
+
+def _extract_tile_n(n_ops: int, max_tile_n: int) -> int:
+    """Widest 128 * 2^p tile <= max_tile_n dividing the prepadded operand
+    width — the moment-extraction kernel needs a power-of-two chunk count
+    whose moment columns divide or are divisible by 128 (shared by both
+    seeded builders)."""
+    t = 128
+    while t * 2 <= min(max_tile_n, n_ops) and n_ops % (t * 2) == 0:
+        t *= 2
+    return t
+
+
 def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
                          precision: str):
     """Multi-round seeded engine: SEEDED_ROUND_K < K <=
@@ -1098,9 +1127,7 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     ceil(K/64) * ~2 reads: measured numbers in docs/PERF_NOTES.md
     "Round-3" item 8."""
     tile_m = min(256, round_up(m, 8))
-    t = 128
-    while t * 2 <= min(4096, n_ops) and n_ops % (t * 2) == 0:
-        t *= 2
+    t = _extract_tile_n(n_ops, 4096)
     extract = _build_extract_candidates(m, n, k, tile_m, t, precision,
                                         n_ops=n_ops, kk=SEEDED_ROUND_K,
                                         banded=True)
@@ -1131,12 +1158,7 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     def one_round(search, r_ops, lo, b_i, needed):
         _i1, cs1 = pass1(search, r_ops, lo, b_i)
         bound = jax.lax.sort(cs1, dimension=-1)[:, needed - 1:needed]
-        # Inflated exactly as in the single-round engine: a looser
-        # bound is always safe, and NaN bounds flood the counts into
-        # the certified fallback.
-        bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
-        bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
-        bound = jnp.maximum(bound, lo)
+        bound = _inflate_bound(bound, lo)
         moms = extract(search, r_ops, bound, lo)
         cnt, suml, sumsq, sumcu = moms
         qual = cnt > 0
@@ -1328,10 +1350,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # (128 always does).
         tile_m = min(256, round_up(m, 8))
         max_tile_n = 8192 if kk <= 16 else 4096
-        t = 128
-        while t * 2 <= min(max_tile_n, n_ops) and n_ops % (t * 2) == 0:
-            t *= 2
-        tile_n = t
+        tile_n = _extract_tile_n(n_ops, max_tile_n)
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
         # Pass 1 (the bound): the banded candidates kernel with a -inf
@@ -1385,13 +1404,9 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             _i1, cs1 = pass1(search, r_ops, no_band_s, no_band_i)
             # B = K-th smallest of the 128 per-lane minima: at least K
             # distinct elements score <= B, so the global K-th score is
-            # <= B. Inflated by 2^-20 relative (a LOOSER bound is always
-            # safe — it only admits extra qualifiers); NaN bounds
-            # (inf-coordinate data) become +inf, which floods the counts
-            # and trips the cnt>=3 fallback — never a silent miss.
+            # <= B. Inflation + NaN handling: _inflate_bound.
             bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
-            bound = bound + jnp.abs(bound) * 9.54e-7 + 1e-35
-            bound = jnp.where(jnp.isnan(bound), jnp.inf, bound)
+            bound = _inflate_bound(bound)
             moms = extract(search, r_ops, bound)           # (m, nc) each
             cnt = moms[0]
             qual = cnt > 0

@@ -225,7 +225,11 @@ class Kdt2Index:
         """Exact 1-NN: (indices (m,) i32, squared distances (m,) f32)."""
         search = np.ascontiguousarray(search, np.float32)
         m, k = search.shape
-        assert k == self.k
+        if k != self.k:
+            # A ValueError, not an assert (review r3): the native call
+            # walks `search + i*self.k` — a silent dim mismatch under
+            # python -O would read out of bounds.
+            raise ValueError(f"query dims {k} != index dims {self.k}")
         idx = np.empty(m, dtype=np.int32)
         d2 = np.empty(m, dtype=np.float32)
         self._lib.tk_kdt2_query(self._h, m, _ptr(search), _ptr(idx), _ptr(d2))
@@ -241,7 +245,8 @@ class Kdt2Index:
                 f"got {neighbors}")
         search = np.ascontiguousarray(search, np.float32)
         m, k = search.shape
-        assert k == self.k
+        if k != self.k:
+            raise ValueError(f"query dims {k} != index dims {self.k}")
         idx = np.empty((m, neighbors), dtype=np.int32)
         d2 = np.empty((m, neighbors), dtype=np.float32)
         self._lib.tk_kdt2_query_topk(self._h, m, neighbors, _ptr(search),
