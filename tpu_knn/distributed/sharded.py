@@ -295,6 +295,182 @@ def sharded_knn(search, ref, *, mesh: Mesh | None = None,
     return run(search, ref)
 
 
+def int8_sharded_layout(n: int, mesh: Mesh) -> tuple[int, int]:
+    """(n_local, n_pad) for an int8 grid sharded over the mesh's
+    reference axes. 128-row granularity (lane width of the score
+    vectors); pad rows are EXCLUDED POSITIONALLY at query time — an
+    int8 pad value cannot be made to lose (every grid value is a legal
+    point), unlike the f32 path's PAD_VALUE rows."""
+    num_shards = mesh.shape["sp"] * mesh.shape.get("dcn", 1)
+    n_local = round_up(cdiv(n, num_shards), 128)
+    return n_local, n_local * num_shards
+
+
+def _shard_id_and_live(n: int, n_local: int, sp: int, has_dcn: bool):
+    """(global shard id, live row count) for the executing shard —
+    [dcn-major, sp-minor] layout along n, ragged tail masked by count."""
+    shard_id = jax.lax.axis_index("sp").astype(jnp.int32)
+    if has_dcn:
+        shard_id = (shard_id
+                    + jax.lax.axis_index("dcn").astype(jnp.int32) * sp)
+    live = jnp.clip(n - shard_id * n_local, 0, n_local)
+    return shard_id, live
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_int8(m: int, n: int, k: int, n_local: int, mesh: Mesh,
+                        method: str = "pmin", cutoff_scale: float = 1.0):
+    """Mesh-sharded exact 1-NN over an int8 GRID — the capacity tier
+    multiplied by the slice: each shard holds only its (n_local, k)
+    int8 rows (the single-chip ladder's 2^28-points-per-16GB-chip,
+    docs/PERF_NOTES.md "int8 grid storage", times the shard count).
+
+    Queries arrive ALREADY in grid space (NNIndex._i8_q transforms);
+    outputs are grid-space d2 (the caller rescales by s^2). Two regimes,
+    mirroring the single-chip int8 routes:
+
+    - m <= 4: the zero-prep masked AoS diff-form scan straight off the
+      int8 shard (no f32 materialization — the capacity contract), pad
+      rows excluded positionally (masked=True).
+    - m > 4: per-shard f32 upcast with pad rows set to PAD_VALUE,
+      feeding the standard fused candidates + exact refine pipeline —
+      the same per-call-operand memory contract as the single-chip
+      batch route (_i8_ops), with the selection certificate rescaled to
+      grid units via ``cutoff_scale`` (= 1/s^2).
+
+    Reduction: global index rebase + the min-index allreduce, exactly
+    the f32 _build_sharded staging (sp over ICI, then dcn)."""
+    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.smallm import SMALLM_MAX_M, _build_aos_scan
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    has_dcn = "dcn" in mesh.shape
+    ref_axes = ("dcn", "sp") if has_dcn else ("sp",)
+    small = m <= SMALLM_MAX_M * dp
+    m_pad = round_up(m, dp) if small else round_up(m, dp * 8)
+    m_local = m_pad // dp
+    if small:
+        scan = _build_aos_scan(m_local, n_local, k, masked=True)
+    else:
+        precision = auto_precision(k, n)
+        tile_m, tile_n = pick_tiles(k, m_local, n_local,
+                                    wide=precision == "packed")
+        tile_n = min(tile_n, n_local)
+        while n_local % tile_n != 0:
+            tile_n -= 128
+        candidates = _build_fused_candidates(m_local, n_local, k,
+                                             tile_m, tile_n, soa=True,
+                                             precision=precision)
+        cutoff = select_cutoff(precision, k) * cutoff_scale
+
+    def shard_fn(q_local, g_local):
+        shard_id, live = _shard_id_and_live(n, n_local, sp, has_dcn)
+        if small:
+            idx, d2 = scan(q_local, g_local, live)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, g_local.shape, 0)
+            r32 = jnp.where(row < live, g_local.astype(jnp.float32),
+                            PAD_VALUE)
+            cand = candidates(q_local, r32)
+            idx, d2 = _refine(q_local, r32, cand, n_local, cutoff=cutoff)
+        gidx = idx + shard_id * n_local
+        d2, gidx = min_index_allreduce(d2, gidx, "sp", method=method)
+        if has_dcn:
+            d2, gidx = min_index_allreduce(d2, gidx, "dcn", method=method)
+        return gidx, d2
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(ref_axes, None)),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(search_grid, grid):
+        q = jnp.pad(search_grid, ((0, m_pad - m), (0, 0)))
+        idx, d2 = mapped(q, grid)
+        return idx[:m], d2[:m]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
+                             n_local: int, mesh: Mesh):
+    """Mesh-sharded exact top-K over an int8 grid: per-shard local top-K
+    in grid space, global rebase, top-K merge allreduce (sp then dcn).
+    Same regime split as _build_sharded_int8: m <= 4 runs the masked
+    AoS cell engine straight off the int8 shard; larger batches upcast
+    per call (pad rows -> PAD_VALUE, +inf scores) and run the standard
+    batch top-K engine."""
+    from tpu_knn.distributed.collectives import topk_allreduce
+    from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.topk import (
+        MAX_NEIGHBORS, _auto_method, _build_aos_topk, _build_topk,
+    )
+    from tpu_knn.utils.shapes import round_up as _ru
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    has_dcn = "dcn" in mesh.shape
+    ref_axes = ("dcn", "sp") if has_dcn else ("sp",)
+    if kk > n_local:
+        raise ValueError(
+            f"neighbors={kk} exceeds the per-shard width {n_local} — "
+            "every shard must be able to hold a full local top-K list")
+    small = m <= 4 * dp and kk <= MAX_NEIGHBORS
+    m_pad = round_up(m, dp) if small else round_up(m, dp * 8)
+    m_local = m_pad // dp
+    if small:
+        local_run = _build_aos_topk(m_local, n_local, k, kk, masked=True)
+    else:
+        precision = auto_precision(k, n)
+        local_run = _build_topk(m_local, n_local, k, kk, n_local,
+                                precision, _auto_method(m_local, kk))
+
+    def shard_fn(q_local, g_local):
+        shard_id, live = _shard_id_and_live(n, n_local, sp, has_dcn)
+        if small:
+            idx, d2 = local_run(q_local, g_local, live)
+        else:
+            row = jax.lax.broadcasted_iota(jnp.int32, g_local.shape, 0)
+            r32 = jnp.where(row < live, g_local.astype(jnp.float32),
+                            PAD_VALUE)
+            k_pad = _ru(k, 8)
+            r_op = (r32.T if k_pad == k
+                    else jnp.pad(r32, ((0, 0), (0, k_pad - k))).T)
+            idx, d2 = local_run(q_local, (r_op,), r32)
+        # Dead rows (idx < 0, masked live < K, or +inf) lose the merge.
+        dead = (idx < 0) | jnp.isinf(d2)
+        gidx = jnp.where(dead, np.int32(2**31 - 1),
+                         idx + shard_id * n_local)
+        d2 = jnp.where(dead, jnp.inf, d2)
+        d2, gidx = topk_allreduce(d2, gidx, "sp", kk)
+        if has_dcn:
+            d2, gidx = topk_allreduce(d2, gidx, "dcn", kk)
+        return gidx, d2
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(ref_axes, None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(search_grid, grid):
+        q = jnp.pad(search_grid, ((0, m_pad - m), (0, 0)))
+        idx, d2 = mapped(q, grid)
+        idx = jnp.where(idx == np.int32(2**31 - 1), -1, idx)
+        return idx[:m], d2[:m]
+
+    return run
+
+
 def v8_callback(k, m, n, search, ref):
     idx, _ = sharded_knn(search, ref)
     return np.asarray(jax.device_get(idx), dtype=np.int32)

@@ -208,12 +208,14 @@ class NNIndex:
         if store == "int8":
             # The int8 mode stores ONLY the (n, k) int8 grid — no SoA
             # operand (batch queries materialize one per call) — so the
-            # strategies/features that keep masked or sharded operand
-            # state have nothing to hang it on. bf16 covers those.
-            if strategy != "fused":
+            # strategies/features that keep masked operand state have
+            # nothing to hang it on. bf16 covers those. "sharded" keeps
+            # the same contract per shard: each chip holds only its
+            # grid rows (the capacity ladder times the slice).
+            if strategy not in ("fused", "sharded"):
                 raise ValueError(
-                    "store='int8' requires strategy='fused' (the grid "
-                    "array is the only resident state; sharded/spatial "
+                    "store='int8' requires strategy='fused' or 'sharded' "
+                    "(the grid array is the only resident state; spatial "
                     f"builds keep f32/bf16 structures); got {strategy!r}")
             if mutable:
                 raise ValueError(
@@ -331,6 +333,9 @@ class NNIndex:
             )
 
             self.mesh = mesh if mesh is not None else default_mesh()
+            if store == "int8":
+                self._init_int8_sharded(ref)
+                return
             # Pre-shard ONCE: pad to the shard layout and device_put with
             # the sp sharding, so queries never re-pad or re-transfer refs.
             self.tile_n, n_local, n_pad = sharded_layout(self.n, self.k,
@@ -468,9 +473,47 @@ class NNIndex:
         self.r_ops = None          # no resident SoA operand — that is
         self._i8_ops_fn = None     # the mode's memory contract
 
+    def _init_int8_sharded(self, ref):
+        """store="int8" + strategy="sharded": the capacity tier times the
+        slice. Each shard's ONLY resident state is its (n_local, k) int8
+        grid rows (the same memory contract as _init_int8 per chip —
+        2^28 points per 16 GB v5e at k=16, times the shard count). The
+        embed (zero/scale) is GLOBAL so every shard serves the same grid
+        geometry; pad rows are zeros and excluded positionally at query
+        time (an int8 pad value cannot be made to lose —
+        distributed/sharded.py:_build_sharded_int8)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_knn.distributed.sharded import int8_sharded_layout
+
+        ref = np.ascontiguousarray(ref, np.float32)
+        lo = ref.min(axis=0).astype(np.float64)
+        hi = ref.max(axis=0).astype(np.float64)
+        z = (lo + hi) / 2.0
+        half = float(np.max(hi - z)) if ref.shape[1] else 0.0
+        s = half / 127.0 if half > 0.0 else 1.0
+        self._i8_zero = np.asarray(z, np.float32)
+        self._i8_inv_s = np.float32(1.0 / s)
+        self._i8_s2 = float(np.float32(1.0 / (np.float64(self._i8_inv_s)
+                                              ** 2)))
+        self._i8_zero_dev = jnp.asarray(self._i8_zero)
+        n_local, n_pad = int8_sharded_layout(self.n, self.mesh)
+        self._n_local = n_local
+        g = np.zeros((n_pad, self.k), np.int8)
+        g[: self.n] = np.clip(
+            np.round((ref - self._i8_zero) * self._i8_inv_s),
+            -127.0, 127.0).astype(np.int8)
+        ref_axes = ("dcn", "sp") if "dcn" in self.mesh.shape else ("sp",)
+        self.r_sharded = jax.device_put(
+            g, NamedSharding(self.mesh, P(ref_axes, None)))
+        jax.block_until_ready(self.r_sharded)
+        self.r_ops = None
+        self._i8_ops_fn = None
+
     @classmethod
     def from_int8_grid(cls, grid, zero, scale,
-                       precision: str | None = None) -> "NNIndex":
+                       precision: str | None = None,
+                       mesh=None, strategy: str = "fused") -> "NNIndex":
         """Build an int8 index directly from pre-quantized grid state:
         ``grid`` (n, k) int8, ``zero`` (k,) f32 per-dim offsets, ``scale``
         the positive global step — the stored points are z + scale*g.
@@ -482,7 +525,12 @@ class NNIndex:
         grid) can build 4x past that — measured to 2^28 points at k=16
         on one 16 GB v5e (scripts/r10_probe_int8_capacity.py). Queries,
         top-K, radius, and save/load behave exactly as NNIndex(...,
-        store="int8")."""
+        store="int8").
+
+        strategy="sharded" (optionally with an explicit ``mesh``)
+        distributes the grid over the mesh's reference axes — the
+        capacity ladder times the slice (each shard resident-holds only
+        its rows)."""
         grid = jnp.asarray(grid)
         if grid.dtype != jnp.int8 or grid.ndim != 2:
             raise ValueError(
@@ -500,19 +548,24 @@ class NNIndex:
             precision = auto_precision(grid.shape[1], grid.shape[0])
         return cls._from_int8_grid(grid, zero,
                                    np.float32(1.0 / np.float64(scale)),
-                                   precision)
+                                   precision, mesh=mesh, strategy=strategy)
 
     @classmethod
-    def _from_int8_grid(cls, grid, zero, inv_s, precision):
+    def _from_int8_grid(cls, grid, zero, inv_s, precision,
+                        mesh=None, strategy: str = "fused"):
         """Rebuild from persisted grid state (load()): re-quantizing is
         neither possible (the f32 points were not saved) nor wanted —
         the grid IS the index."""
         from tpu_knn.kernels.tuning import pick_tiles as _pick
 
+        if strategy not in ("fused", "sharded"):
+            raise ValueError(
+                f"int8 grids serve the fused or sharded strategy, "
+                f"got {strategy!r}")
         ix = cls.__new__(cls)
         ix.metric = "l2"
         ix.store = "int8"
-        ix.strategy = "fused"
+        ix.strategy = strategy
         ix.mutable = False
         ix.n, ix.k = grid.shape
         ix.k_user = ix.k
@@ -522,7 +575,24 @@ class NNIndex:
         ix._i8_inv_s = np.float32(inv_s)
         ix._i8_s2 = float(np.float32(1.0 / (np.float64(ix._i8_inv_s) ** 2)))
         ix._i8_zero_dev = jnp.asarray(ix._i8_zero)
-        ix.ref_dev = jnp.asarray(grid, jnp.int8)
+        if strategy == "sharded":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tpu_knn.distributed.sharded import (
+                default_mesh, int8_sharded_layout,
+            )
+
+            ix.mesh = mesh if mesh is not None else default_mesh()
+            n_local, n_pad = int8_sharded_layout(ix.n, ix.mesh)
+            ix._n_local = n_local
+            if n_pad != ix.n:
+                grid = jnp.pad(grid, ((0, n_pad - ix.n), (0, 0)))
+            ref_axes = ("dcn", "sp") if "dcn" in ix.mesh.shape else ("sp",)
+            ix.r_sharded = jax.device_put(
+                grid, NamedSharding(ix.mesh, P(ref_axes, None)))
+            jax.block_until_ready(ix.r_sharded)
+        else:
+            ix.ref_dev = jnp.asarray(grid, jnp.int8)
         ix.r_ops = None
         ix._i8_ops_fn = None
         return ix
@@ -1283,7 +1353,13 @@ class NNIndex:
         )
 
         search, m, mb = self._topk_prep_batch(search, neighbors)
-        if mb == 1 and neighbors <= MAX_NEIGHBORS:
+        if self.strategy == "sharded":
+            from tpu_knn.distributed.sharded import _build_sharded_int8_topk
+
+            run = _build_sharded_int8_topk(mb, self.n, self.k, neighbors,
+                                           self._n_local, self.mesh)
+            idx, d2 = run(search, self.r_sharded)
+        elif mb == 1 and neighbors <= MAX_NEIGHBORS:
             idx, d2 = _build_aos_topk(mb, self.n, self.k,
                                       neighbors)(search, self.ref_dev)
         else:
@@ -1308,6 +1384,17 @@ class NNIndex:
             from tpu_knn.kernels.dense import dense_applicable, _dense
             from tpu_knn.kernels.smallm import SMALLM_MAX_M, _build_aos_scan
 
+            if self.strategy == "sharded":
+                # Grid shards stay int8-resident per chip; the builder
+                # routes m <= 4 to the masked AoS scan and batches to a
+                # per-call upcast + the fused pipeline (certificate
+                # rescaled to grid units).
+                from tpu_knn.distributed.sharded import _build_sharded_int8
+
+                run = _build_sharded_int8(
+                    m, self.n, self.k, self._n_local, self.mesh,
+                    cutoff_scale=1.0 / self._i8_s2)
+                return run(search, self.r_sharded)
             if dense_applicable(m, self.k, self.n):
                 return _dense(search, self.ref_dev)
             if m <= SMALLM_MAX_M:

@@ -224,7 +224,7 @@ AOS_SCAN_MAX_KPAD_WASTE_K = 8
 
 
 @functools.lru_cache(maxsize=None)
-def _build_aos_scan(m: int, n: int, k: int):
+def _build_aos_scan(m: int, n: int, k: int, masked: bool = False):
     """Zero-prep per-call small-m scan: plain XLA diff-form over the
     caller's (n, k) AoS array.
 
@@ -242,20 +242,35 @@ def _build_aos_scan(m: int, n: int, k: int):
     conditioning); jnp.argmin returns the FIRST minimum = lowest
     reference index (v0's tie rule, core.cu:50-54). +inf rows (mutable
     index PAD/tombstone slots) self-exclude as in the dense path.
+
+    masked=True adds a dynamic ``live`` scalar argument: rows at index
+    >= live score +inf (the mask fuses into the scan's single pass).
+    Needed when +inf pad rows are IMPOSSIBLE — an int8 grid shard's pad
+    rows are legal points in every value (distributed/sharded.py:
+    _build_sharded_int8), so exclusion must be positional.
     """
 
     @jax.jit
-    def run(search, ref):
+    def run(search, ref, live=None):
+        def mask(s, axis_len):
+            if not masked:
+                return s
+            iota = jax.lax.iota(jnp.int32, axis_len)
+            if s.ndim == 2:
+                iota = iota[None, :]
+            return jnp.where(iota < live, s, jnp.inf)
+
         if m == 1:
             # 1-D graph, exactly the probe's shape: a (1, n) score row
             # re-pays ~0.5 ms over the 1-D (n,) form (measured — the 2-D
             # row gets the (8,128)-tiled layout, 8x the score bytes).
             d = ref - search[0]
-            s = jnp.sum(d * d, axis=-1)               # (n,)
+            s = mask(jnp.sum(d * d, axis=-1), n)      # (n,)
             j = jnp.argmin(s)
             return j[None].astype(jnp.int32), s[j][None]
         d = ref[None, :, :] - search[:, None, :]      # fused, never
         s = jnp.sum(d * d, axis=-1)                   # materialized (m,n,k)
+        s = mask(s, n)
         idx = jnp.argmin(s, axis=1).astype(jnp.int32)
         # Read the winners' d2 out of the score array rather than
         # returning jnp.min(s): a SECOND reduction over the same fused

@@ -1520,7 +1520,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_aos_topk(m: int, n: int, k: int, kk: int):
+def _build_aos_topk(m: int, n: int, k: int, kk: int, masked: bool = False):
     """Zero-prep per-call top-K for m <= 4: the AoS-scan design
     (kernels/smallm.py:_build_aos_scan, PERF_NOTES "Per-call prep
     transpose") extended to K results — no Pallas, no SoA relayout.
@@ -1544,6 +1544,14 @@ def _build_aos_topk(m: int, n: int, k: int, kk: int):
     lowers to a full-length sort. Cell compaction sorts only the n/C
     cell ids (microseconds) and bounds the exact-sort input to
     cap_c * C elements; every pass over the score vector is linear.
+
+    masked=True adds a dynamic ``live`` scalar argument: rows at index
+    >= live score +inf (fused into the diff-form pass). A row selected
+    anyway (live < K) comes back with d2 = +inf — callers MUST treat
+    inf rows as dead (the lax.top_k fallback tier keeps their raw
+    index). Positional exclusion for operands whose pad rows cannot
+    carry +inf — int8 grid shards (distributed/sharded.py:
+    _build_sharded_int8_topk).
     """
     C = 4096
     n_pad = round_up(n, C)
@@ -1580,13 +1588,19 @@ def _build_aos_topk(m: int, n: int, k: int, kk: int):
                             lambda _: (idx_k, d2_k), fallback, None)
 
     @jax.jit
-    def run(search, ref):
+    def run(search, ref, live=None):
+        def mask(s):
+            if not masked:
+                return s
+            return jnp.where(jax.lax.iota(jnp.int32, n) < live, s,
+                             jnp.inf)
+
         cell_iota = jax.lax.iota(jnp.int32, ncell)
         lane_iota = jax.lax.iota(jnp.int32, C)
         if m == 1:
             # 1-D graph (the (1, n) row costs the 8x sublane-tiled
             # layout — same trap as _build_aos_scan).
-            s = jnp.sum((ref - search[0]) ** 2, axis=-1)     # (n,) exact
+            s = mask(jnp.sum((ref - search[0]) ** 2, axis=-1))  # (n,)
             sp = (jnp.pad(s, (0, n_pad - n), constant_values=jnp.inf)
                   if n_pad != n else s)
             ri, rd = _cell_stage(sp, cell_iota, lane_iota)
@@ -1600,7 +1614,7 @@ def _build_aos_topk(m: int, n: int, k: int, kk: int):
         # prepared engines at m >= 2 (k >= 8) / m >= 2 (k < 8, top-K).
         rows_i, rows_d = [], []
         for r in range(m):
-            s = jnp.sum((ref - search[r]) ** 2, axis=-1)
+            s = mask(jnp.sum((ref - search[r]) ** 2, axis=-1))
             sp = (jnp.pad(s, (0, n_pad - n), constant_values=jnp.inf)
                   if n_pad != n else s)
             ri, rd = _cell_stage(sp, cell_iota, lane_iota)
