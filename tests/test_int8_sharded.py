@@ -137,11 +137,16 @@ def test_sharded_int8_dp2_mesh():
     ref = rng.random((4_000, 5), np.float32)
     ix = NNIndex(ref, store="int8", strategy="sharded",
                  mesh=default_mesh(dp=2, sp=4))
-    q = rng.random((6, 5), np.float32)
+    q = rng.random((6, 5), np.float32)   # m <= 4*dp: scan regime
     np.testing.assert_array_equal(np.asarray(ix.query(q)[0]),
                                   _oracle(ix, q))
     np.testing.assert_array_equal(np.asarray(ix.query(q, neighbors=3)[0]),
                                   _gold_topk(ix, q, 3))
+    qb = rng.random((32, 5), np.float32)  # batch regime under dp=2
+    np.testing.assert_array_equal(np.asarray(ix.query(qb)[0]),
+                                  _oracle(ix, qb))
+    np.testing.assert_array_equal(
+        np.asarray(ix.query(qb, neighbors=6)[0]), _gold_topk(ix, qb, 6))
 
 
 def test_sharded_int8_from_grid():
