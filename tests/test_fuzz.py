@@ -209,3 +209,36 @@ def test_fuzz_topk_batch_engines():
     idx = np.asarray(idx)
     np.testing.assert_array_equal(idx[5, :5], [10, 30, 50, 70, 90])
     _check_topk_properties(q, r, idx, d2, 6, "dup-cluster")
+
+
+def test_fuzz_sharded_int8():
+    """Randomized sweep of the sharded int8 capacity tier: the contract
+    is GRID-EXACT, so the gate is strict index equality against the v0
+    oracle run in grid space over the upcast grid — across adversarial
+    recipes, mesh splits, batch regimes, and ragged shard widths."""
+    from tpu_knn.distributed.sharded import default_mesh
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(2718)
+    for trial in range(5):
+        k = int(rng.integers(1, 17))
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(64, 5000))
+        kk = int(rng.integers(1, 9))
+        dp, sp = [(1, 8), (2, 4), (1, 4)][trial % 3]
+        recipe = ["uniform", "quantized", "duplicates",
+                  "near-dup"][int(rng.integers(4))]
+        q, r = make_data(int(rng.integers(1 << 30)), k, m, n, recipe)
+        ix = NNIndex(r, store="int8", strategy="sharded",
+                     mesh=default_mesh(dp=dp, sp=sp))
+        g = np.asarray(ix.r_sharded)[:n].astype(np.float32)
+        qg = ((q - ix._i8_zero) * np.float32(ix._i8_inv_s))
+        tag = f"(k={k},m={m},n={n},K={kk},dp{dp}sp{sp},{recipe})"
+        got = np.asarray(ix.query(q)[0])
+        np.testing.assert_array_equal(got, oracle_knn(qg, g), err_msg=tag)
+        D = ((qg[:, None, :].astype(np.float64)
+              - g[None, :, :].astype(np.float64)) ** 2).sum(-1)
+        want_t = np.array([np.lexsort((np.arange(n), row))[:kk]
+                           for row in D])
+        np.testing.assert_array_equal(
+            np.asarray(ix.query(q, neighbors=kk)[0]), want_t, err_msg=tag)
