@@ -166,6 +166,29 @@ def test_sharded_int8_from_grid():
         np.asarray(ix_f.query(q, neighbors=5)[0]))
 
 
+def test_sharded_int8_query_radius():
+    """Radius queries ride the shared escalating loop over the sharded
+    grid-space top-K; thresholds are USER units (d2 rescaled on exit)."""
+    rng = np.random.default_rng(8)
+    ref = rng.random((3_000, 3), np.float32)
+    ix = NNIndex(ref, store="int8", strategy="sharded",
+                 mesh=default_mesh(dp=1, sp=8))
+    q = rng.random((4, 3), np.float32)
+    radius = 0.18
+    idx, d2, cnt = ix.query_radius(q, radius)
+    idx, d2, cnt = np.asarray(idx), np.asarray(d2), np.asarray(cnt)
+    g = _grid(ix)
+    qg = _q_grid(ix, q)
+    D = ((qg[:, None, :] - g[None, :, :]) ** 2).sum(-1,
+                                                    dtype=np.float32)
+    D = D * np.float32(ix._i8_s2)     # user units, the engine's compute
+    for i in range(4):
+        want = set(np.nonzero(np.sqrt(D[i]) <= radius)[0].tolist())
+        got = set(idx[i, : cnt[i]].tolist())
+        assert got == want, (i, got ^ want)
+        assert (idx[i, cnt[i]:] == -1).all()
+
+
 def test_sharded_int8_save_excluded():
     rng = np.random.default_rng(7)
     ix = NNIndex(rng.random((1_000, 3), np.float32), store="int8",
