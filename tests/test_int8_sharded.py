@@ -189,6 +189,43 @@ def test_sharded_int8_query_radius():
         assert (idx[i, cnt[i]:] == -1).all()
 
 
+def test_sharded_int8_k_beyond_shard_width():
+    """review r11: neighbors within the documented min(n, 512) cap must
+    be served even when it exceeds the 128-row per-shard width (each
+    shard contributes its clamped local list; a truncated-at-n_local
+    list already holds every local point, so the merge stays exact)."""
+    rng = np.random.default_rng(9)
+    ref = rng.random((1_000, 4), np.float32)
+    ix = NNIndex(ref, store="int8", strategy="sharded",
+                 mesh=default_mesh(dp=1, sp=8))
+    assert ix._n_local == 128
+    q = rng.random((3, 4), np.float32)
+    for kk in (129, 200, 512):
+        idx, d2 = ix.query(q, neighbors=kk)
+        np.testing.assert_array_equal(np.asarray(idx),
+                                      _gold_topk(ix, q, kk))
+        assert (np.diff(np.asarray(d2), axis=1) >= 0).all()
+    # query_radius escalation crossing the shard width (reproduced the
+    # r11 crash: cap doubling 128 -> 256 raised mid-escalation).
+    idx, d2, cnt = ix.query_radius(q, 0.55)
+    g, qg = _grid(ix), _q_grid(ix, q)
+    D = ((qg[:, None, :] - g[None, :, :]) ** 2).sum(-1, dtype=np.float32)
+    D = D * np.float32(ix._i8_s2)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for i in range(3):
+        want = set(np.nonzero(np.sqrt(D[i]) <= 0.55)[0].tolist())
+        assert len(want) > 128   # the regression's trigger regime
+        assert set(idx[i, : cnt[i]].tolist()) == want
+
+
+def test_from_int8_grid_mesh_requires_sharded():
+    rng = np.random.default_rng(10)
+    grid = rng.integers(-127, 128, size=(256, 3), dtype=np.int8)
+    with pytest.raises(ValueError, match="strategy='sharded'"):
+        NNIndex.from_int8_grid(grid, np.zeros(3, np.float32), 0.5,
+                               mesh=default_mesh(dp=1, sp=8))
+
+
 def test_sharded_int8_save_excluded():
     rng = np.random.default_rng(7)
     ix = NNIndex(rng.random((1_000, 3), np.float32), store="int8",

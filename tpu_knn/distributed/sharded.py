@@ -417,19 +417,24 @@ def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
     sp = mesh.shape["sp"]
     has_dcn = "dcn" in mesh.shape
     ref_axes = ("dcn", "sp") if has_dcn else ("sp",)
-    if kk > n_local:
-        raise ValueError(
-            f"neighbors={kk} exceeds the per-shard width {n_local} — "
-            "every shard must be able to hold a full local top-K list")
-    small = m <= 4 * dp and kk <= MAX_NEIGHBORS
+    # A shard holding fewer than K rows simply contributes its WHOLE
+    # local point set (clamped local list, inf-padded to the merge
+    # width): a truncated-at-n_local list already contains every local
+    # point, so the global merge stays exact. Raising here instead
+    # would crash documented-valid K <= min(n, 512) calls — and
+    # query_radius's cap escalation — whenever int8_sharded_layout's
+    # 128-row granularity makes n_local small (review r11).
+    kk_local = min(kk, n_local)
+    small = m <= 4 * dp and kk_local <= MAX_NEIGHBORS
     m_pad = round_up(m, dp) if small else round_up(m, dp * 8)
     m_local = m_pad // dp
     if small:
-        local_run = _build_aos_topk(m_local, n_local, k, kk, masked=True)
+        local_run = _build_aos_topk(m_local, n_local, k, kk_local,
+                                    masked=True)
     else:
         precision = auto_precision(k, n)
-        local_run = _build_topk(m_local, n_local, k, kk, n_local,
-                                precision, _auto_method(m_local, kk))
+        local_run = _build_topk(m_local, n_local, k, kk_local, n_local,
+                                precision, _auto_method(m_local, kk_local))
 
     def shard_fn(q_local, g_local):
         shard_id, live = _shard_id_and_live(n, n_local, sp, has_dcn)
@@ -448,6 +453,10 @@ def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
         gidx = jnp.where(dead, np.int32(2**31 - 1),
                          idx + shard_id * n_local)
         d2 = jnp.where(dead, jnp.inf, d2)
+        if kk_local < kk:   # pad the clamped list to the merge width
+            pad = ((0, 0), (0, kk - kk_local))
+            gidx = jnp.pad(gidx, pad, constant_values=np.int32(2**31 - 1))
+            d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
         d2, gidx = topk_allreduce(d2, gidx, "sp", kk)
         if has_dcn:
             d2, gidx = topk_allreduce(d2, gidx, "dcn", kk)

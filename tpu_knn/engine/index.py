@@ -451,23 +451,31 @@ class NNIndex:
     # accepts (q/||q||); the contract is "exact 1-NN of the embedded
     # query over the stored grid points".
 
+    def _set_i8_embed(self, lo, hi):
+        """Derive and store the int8 embed constants from f64 per-dim
+        (lo, hi): zero offsets, the global inverse step, and the d2
+        rescale. ONE copy (review r11: the fused and sharded inits
+        carried clones, and test_sharded_int8_matches_single_chip's
+        equality contract depends on them never drifting). The d2 scale
+        derives from the STORED inv_s (the embed's only constant) so
+        save/load round-trips bit-identically."""
+        z = (lo + hi) / 2.0
+        half = float(np.max(hi - z)) if len(z) else 0.0
+        s = half / 127.0 if half > 0.0 else 1.0
+        self._i8_zero = np.asarray(z, np.float32)      # (k,) host copy
+        self._i8_inv_s = np.float32(1.0 / s)
+        self._i8_s2 = float(np.float32(
+            1.0 / (np.float64(self._i8_inv_s) ** 2)))
+        self._i8_zero_dev = jnp.asarray(self._i8_zero)
+
     def _init_int8(self, ref):
         ref_t = jnp.asarray(ref)
         if ref_t.dtype != jnp.float32:
             ref_t = ref_t.astype(jnp.float32)
-        lo = np.asarray(jax.device_get(jnp.min(ref_t, axis=0)), np.float64)
-        hi = np.asarray(jax.device_get(jnp.max(ref_t, axis=0)), np.float64)
-        z = (lo + hi) / 2.0
-        half = float(np.max(hi - z)) if ref_t.shape[1] else 0.0
-        s = half / 127.0 if half > 0.0 else 1.0
-        inv_s = np.float32(1.0 / s)
-        self._i8_zero = np.asarray(z, np.float32)      # (k,) host copy
-        self._i8_inv_s = inv_s
-        # d2 scale derives from the STORED inv_s (the embed's only
-        # constant) so save/load round-trips bit-identically.
-        self._i8_s2 = float(np.float32(1.0 / (np.float64(inv_s) ** 2)))
-        self._i8_zero_dev = jnp.asarray(self._i8_zero)
-        g = jnp.clip(jnp.round((ref_t - self._i8_zero_dev) * inv_s),
+        self._set_i8_embed(
+            np.asarray(jax.device_get(jnp.min(ref_t, axis=0)), np.float64),
+            np.asarray(jax.device_get(jnp.max(ref_t, axis=0)), np.float64))
+        g = jnp.clip(jnp.round((ref_t - self._i8_zero_dev) * self._i8_inv_s),
                      -127.0, 127.0).astype(jnp.int8)
         self.ref_dev = jax.block_until_ready(g)
         self.r_ops = None          # no resident SoA operand — that is
@@ -487,16 +495,8 @@ class NNIndex:
         from tpu_knn.distributed.sharded import int8_sharded_layout
 
         ref = np.ascontiguousarray(ref, np.float32)
-        lo = ref.min(axis=0).astype(np.float64)
-        hi = ref.max(axis=0).astype(np.float64)
-        z = (lo + hi) / 2.0
-        half = float(np.max(hi - z)) if ref.shape[1] else 0.0
-        s = half / 127.0 if half > 0.0 else 1.0
-        self._i8_zero = np.asarray(z, np.float32)
-        self._i8_inv_s = np.float32(1.0 / s)
-        self._i8_s2 = float(np.float32(1.0 / (np.float64(self._i8_inv_s)
-                                              ** 2)))
-        self._i8_zero_dev = jnp.asarray(self._i8_zero)
+        self._set_i8_embed(ref.min(axis=0).astype(np.float64),
+                           ref.max(axis=0).astype(np.float64))
         n_local, n_pad = int8_sharded_layout(self.n, self.mesh)
         self._n_local = n_local
         g = np.zeros((n_pad, self.k), np.int8)
@@ -530,9 +530,17 @@ class NNIndex:
         strategy="sharded" (optionally with an explicit ``mesh``)
         distributes the grid over the mesh's reference axes — the
         capacity ladder times the slice (each shard resident-holds only
-        its rows)."""
-        grid = jnp.asarray(grid)
-        if grid.dtype != jnp.int8 or grid.ndim != 2:
+        its rows). Sharded grids are padded and placed HOST-side (one
+        device_put with the shard layout): a 2^31-point grid must never
+        be materialized whole on one chip (review r11)."""
+        if mesh is not None and strategy != "sharded":
+            raise ValueError(
+                "mesh= requires strategy='sharded' (a fused grid index "
+                "lives on one device) — it would otherwise be silently "
+                "ignored")
+        if strategy != "sharded":
+            grid = jnp.asarray(grid)
+        if np.dtype(grid.dtype) != np.int8 or grid.ndim != 2:
             raise ValueError(
                 f"grid must be an (n, k) int8 array, got {grid.dtype} "
                 f"{grid.shape}")
@@ -585,11 +593,20 @@ class NNIndex:
             ix.mesh = mesh if mesh is not None else default_mesh()
             n_local, n_pad = int8_sharded_layout(ix.n, ix.mesh)
             ix._n_local = n_local
+            # Pad on the HOST and place once with the shard layout: a
+            # jnp.pad (or jnp.asarray of the whole grid) would
+            # materialize the full array on the default device first —
+            # the capacity path's grid does not fit one chip. A device-
+            # resident input is pulled to host once (the restore path's
+            # grids arrive host-side anyway).
+            g = np.asarray(grid)
             if n_pad != ix.n:
-                grid = jnp.pad(grid, ((0, n_pad - ix.n), (0, 0)))
+                gp = np.zeros((n_pad, ix.k), np.int8)
+                gp[: ix.n] = g
+                g = gp
             ref_axes = ("dcn", "sp") if "dcn" in ix.mesh.shape else ("sp",)
             ix.r_sharded = jax.device_put(
-                grid, NamedSharding(ix.mesh, P(ref_axes, None)))
+                g, NamedSharding(ix.mesh, P(ref_axes, None)))
             jax.block_until_ready(ix.r_sharded)
         else:
             ix.ref_dev = jnp.asarray(grid, jnp.int8)
