@@ -75,6 +75,34 @@ def test_ragged_n_across_shards():
     np.testing.assert_array_equal(np.asarray(idx), oracle(q, r))
 
 
+def test_topk_k_beyond_shard_width():
+    """review r11: K within the documented min(n, 512) cap must be
+    served even when it exceeds the per-shard width (each shard
+    contributes its clamped local list, inf-padded into the merge)."""
+    from tpu_knn.distributed.sharded import sharded_topk_knn
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(11)
+    ref = rng.random((1_000, 4), np.float32)
+    q = rng.random((3, 4), np.float32)
+    D = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    mesh = default_mesh(dp=1, sp=8)
+    ix = NNIndex(ref, strategy="sharded", mesh=mesh)
+    for kk in (ix._n_local + 1, 512):
+        want = np.array([np.lexsort((np.arange(1000), row))[:kk]
+                         for row in D])
+        np.testing.assert_array_equal(
+            np.asarray(ix.query(q, neighbors=kk)[0]), want)
+        np.testing.assert_array_equal(
+            np.asarray(sharded_topk_knn(q, ref, kk, mesh=mesh)[0]), want)
+    # radius escalation crossing the shard width
+    idx, d2, cnt = ix.query_radius(q, 0.55)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for i in range(3):
+        want = set(np.nonzero(np.sqrt(D[i]) <= 0.55)[0].tolist())
+        assert set(idx[i, : cnt[i]].tolist()) == want
+
+
 def test_v8_guard_delegates_small_n():
     from tpu_knn.engine.registry import get_version
 
@@ -201,10 +229,9 @@ def test_sharded_topk_batch_regime_routes_seeded_per_shard():
 def test_sharded_topk_k_beyond_128():
     """The per-call cap follows the single-chip ladder to
     PASSES_MAX_NEIGHBORS: K > 64 runs the multi-round engine PER SHARD
-    and merges exactly; a K wider than the per-shard width raises the
-    named error instead of mis-building."""
-    import pytest
-
+    and merges exactly; a K wider than the per-shard width serves via
+    clamped local lists (review r11 — it used to raise on documented-
+    valid K <= min(n, 512) calls)."""
     from tpu_knn.distributed.sharded import sharded_topk_knn
 
     rng = np.random.default_rng(23)
@@ -215,9 +242,11 @@ def test_sharded_topk_k_beyond_128():
     idx, d2 = sharded_topk_knn(q, r, kk, mesh=default_mesh(dp=1, sp=8))
     np.testing.assert_array_equal(np.asarray(idx), oracle_topk(q, r, kk))
     assert list(np.asarray(idx)[3, :2]) == [100, 5 * 1024 + 9]
-    with pytest.raises(ValueError, match="per-shard reference width"):
-        sharded_topk_knn(q, rng.random((1024, 5), np.float32), 512,
-                         mesh=default_mesh(dp=1, sp=8))
+    r_small = rng.random((1024, 5), np.float32)
+    idx, _ = sharded_topk_knn(q, r_small, 512,
+                              mesh=default_mesh(dp=1, sp=8))
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  oracle_topk(q, r_small, 512))
 
 
 def test_sharded_topk_duplicates_across_shards():

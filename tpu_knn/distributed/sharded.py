@@ -200,12 +200,12 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     elif n_local * num_shards < n or n_local % 128 != 0:
         raise ValueError(f"prepared n_local={n_local} incompatible with "
                          f"n={n} over {num_shards} shards")
-    if kk > n_local:
-        raise ValueError(
-            f"neighbors={kk} exceeds the per-shard reference width "
-            f"{n_local} (n={n} over {num_shards} shards); every shard "
-            "must be able to hold a full local top-K list — use fewer "
-            "shards or the single-chip engine")
+    # A shard narrower than K contributes its clamped local list
+    # inf-padded to the merge width — exact, because a truncated-at-
+    # n_local list already holds every local point (review r11: raising
+    # here crashed documented-valid K <= min(n, 512) calls and
+    # query_radius escalation whenever small n made n_local < K).
+    kk_local = min(kk, n_local)
     n_pad = n_local * num_shards
     k_pad = round_up(k, 8)
     # The LOCAL valid count is n_local everywhere: trailing-shard padding
@@ -213,19 +213,23 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     # can enter a shard's local list only when the shard has fewer than K
     # real rows, and then lose the global merge to finite candidates
     # (sum over shards of finite candidates >= min(n, K) >= K).
-    local_run = _build_topk(m_local, n_local, k, kk, n_local, precision,
-                            method)
+    local_run = _build_topk(m_local, n_local, k, kk_local, n_local,
+                            precision, method)
 
     def shard_fn(q_local, r_local, r_op_local=None):
         if r_op_local is None:   # per-call path: in-shard SoA transpose
             r_op_local = (r_local.T if k_pad == k
                           else jnp.pad(r_local, ((0, 0), (0, k_pad - k))).T)
-        idx, d2 = local_run(q_local, (r_op_local,), r_local)  # (m_local, kk)
+        idx, d2 = local_run(q_local, (r_op_local,), r_local)
         shard_id = jax.lax.axis_index("sp").astype(jnp.int32)
         if has_dcn:
             shard_id = shard_id + jax.lax.axis_index("dcn").astype(jnp.int32) * sp
         gidx = jnp.where(idx >= 0, idx + shard_id * n_local,
                          np.int32(2**31 - 1))
+        if kk_local < kk:   # clamped local list -> merge width
+            pad = ((0, 0), (0, kk - kk_local))
+            gidx = jnp.pad(gidx, pad, constant_values=np.int32(2**31 - 1))
+            d2 = jnp.pad(d2, pad, constant_values=jnp.inf)
         d2, gidx = topk_allreduce(d2, gidx, "sp", kk)
         if has_dcn:
             d2, gidx = topk_allreduce(d2, gidx, "dcn", kk)
