@@ -143,11 +143,12 @@ class NNIndex:
         still f32; ties still break to the lowest index among exact-
         equal f32 distances over the stored points.
 
-        store="int8" (fused, immutable, l2): quantize ONCE onto an
-        affine int8 grid p = z + s*g (per-dim zero offsets z, one
-        global scale s covering the data's widest half-range in 127
+        store="int8" (fused or sharded, immutable, l2): quantize ONCE
+        onto an affine int8 grid p = z + s*g (per-dim zero offsets z,
+        one global scale s covering the data's widest half-range in 127
         steps). The ONLY resident state is the (n, k) int8 grid — 4x
-        less HBM than f32 (4x the points per chip) — and queries run
+        less HBM than f32 (4x the points per chip; strategy="sharded"
+        multiplies that by the slice) — and queries run
         the existing exact engines in GRID space on the transformed
         query q' = (q - z)/s: selection, top-K order, and the v0
         lowest-index tie rule are exact over the stored grid points
