@@ -534,6 +534,55 @@ def main():
               file=sys.stderr, flush=True)
         del ixq, runq, opsq, iaq, qg, grid32, tkq, iq_t, if_t
 
+        # Sharded int8 tier on the real chip (1-device mesh): the
+        # shard_map wrapper is measured free (scripts/
+        # r11_sharded_overhead.py), so this row both gates the mesh
+        # pipeline's Mosaic compile on hardware and records the
+        # capacity tier's serving latency through the sharded route.
+        from tpu_knn.distributed.sharded import default_mesh
+
+        t0 = time.time()
+        ixq = NNIndex(r1, store="int8", strategy="sharded",
+                      mesh=default_mesh(dp=1, sp=1))
+        buildqs_s = time.time() - t0
+        qg1 = ixq._i8_q(q1)
+        from tpu_knn.distributed.sharded import _build_sharded_int8
+
+        run_i8s = _build_sharded_int8(1, ixq.n, ixq.k, ixq._n_local,
+                                      ixq.mesh,
+                                      cutoff_scale=1.0 / ixq._i8_s2)
+
+        def i8s_step(i, c, qg, g):
+            ia, da = run_i8s(qg + i.astype(jnp.float32) * 1e-9, g)
+            return _consume(c, da, ia)
+
+        ms8s, iters8s = calibrated_amplified_ms(i8s_step, qg1,
+                                                ixq.r_sharded)
+        ia8s, _ = run_i8s(qg1, ixq.r_sharded)
+        # Upcast on device (a host readback of the 256 MB grid would
+        # cost ~8 s over the tunnel); n == n_pad at 2^24 so no slice.
+        grid32s = jax.jit(
+            lambda g: g[: 1 << 24].astype(jnp.float32))(ixq.r_sharded)
+        errs8s, tot8s = device_gate_vs_v2(qg1, grid32s, ia8s)
+        details["rows"].append({
+            "name": "ds9_sharded_index_int8_sp1",
+            "k": 16, "m": 1, "n": 1 << 24, "ms": round(ms8s, 3),
+            "timing": f"amplified x{iters8s}",
+            "prepare_s": round(buildqs_s, 2),
+            "errors": f"{errs8s}/{tot8s}",
+            "gate": "on-device v2 differential in grid space",
+            "note": "NNIndex(store='int8', strategy='sharded') on a "
+                    "1-device mesh: the capacity-tier mesh pipeline "
+                    "(masked AoS scan in shard_map) on real hardware",
+        })
+        if errs8s:
+            print("CORRECTNESS FAILURE on ds9_sharded_index_int8_sp1",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# ds9 sharded-int8 sp=1 (m=1): {ms8s:.3f} ms "
+              f"errors {errs8s}/{tot8s}", file=sys.stderr, flush=True)
+        del ixq, qg1, run_i8s, ia8s, grid32s
+
         # v11 projection index, small-batch lookup niche: raw runner
         # timing (the certification sync is a tunnel artifact; see
         # kernels/projection.py docstring).

@@ -229,8 +229,13 @@ class NNIndex:
         # trip, which costs seconds over the dev tunnel at n=2^24);
         # anything else (NumPy, lists, tuples) is coerced to a contiguous
         # f32 NumPy array, and host-side builds (kdtree, sharded pre-pad)
-        # always need one.
-        if strategy in ("kdtree", "sharded") or not isinstance(ref, jax.Array):
+        # always need one. Exception: int8+sharded quantizes a DEVICE
+        # input on device and reshards the 4x-smaller grid
+        # (_init_int8_sharded) — pulling the f32 source to the host cost
+        # ~200 s at n=2^24 over the dev tunnel (review r11).
+        if (strategy == "kdtree"
+                or (strategy == "sharded" and store != "int8")
+                or not isinstance(ref, jax.Array)):
             ref = np.ascontiguousarray(ref, np.float32)
         self.k_user = ref.shape[1] - (
             1 if metric == "ip" and _pretransformed else 0)
@@ -495,18 +500,37 @@ class NNIndex:
 
         from tpu_knn.distributed.sharded import int8_sharded_layout
 
-        ref = np.ascontiguousarray(ref, np.float32)
-        self._set_i8_embed(ref.min(axis=0).astype(np.float64),
-                           ref.max(axis=0).astype(np.float64))
         n_local, n_pad = int8_sharded_layout(self.n, self.mesh)
         self._n_local = n_local
-        g = np.zeros((n_pad, self.k), np.int8)
-        g[: self.n] = np.clip(
-            np.round((ref - self._i8_zero) * self._i8_inv_s),
-            -127.0, 127.0).astype(np.int8)
         ref_axes = ("dcn", "sp") if "dcn" in self.mesh.shape else ("sp",)
-        self.r_sharded = jax.device_put(
-            g, NamedSharding(self.mesh, P(ref_axes, None)))
+        sharding = NamedSharding(self.mesh, P(ref_axes, None))
+        if isinstance(ref, jax.Array):
+            # Device input: quantize ON DEVICE and reshard the 4x-
+            # smaller grid (the f32 source already fit where it lives;
+            # a host round trip costs ~200 s at n=2^24 over the dev
+            # tunnel). Past-one-chip builds use from_int8_grid.
+            ref_t = (ref if ref.dtype == jnp.float32
+                     else ref.astype(jnp.float32))
+            self._set_i8_embed(
+                np.asarray(jax.device_get(jnp.min(ref_t, axis=0)),
+                           np.float64),
+                np.asarray(jax.device_get(jnp.max(ref_t, axis=0)),
+                           np.float64))
+            g = jax.jit(lambda x, z, s: jnp.pad(
+                jnp.clip(jnp.round((x - z) * s),
+                         -127.0, 127.0).astype(jnp.int8),
+                ((0, n_pad - self.n), (0, 0))))(
+                ref_t, self._i8_zero_dev, self._i8_inv_s)
+            self.r_sharded = jax.device_put(g, sharding)
+        else:
+            ref = np.ascontiguousarray(ref, np.float32)
+            self._set_i8_embed(ref.min(axis=0).astype(np.float64),
+                               ref.max(axis=0).astype(np.float64))
+            g = np.zeros((n_pad, self.k), np.int8)
+            g[: self.n] = np.clip(
+                np.round((ref - self._i8_zero) * self._i8_inv_s),
+                -127.0, 127.0).astype(np.int8)
+            self.r_sharded = jax.device_put(g, sharding)
         jax.block_until_ready(self.r_sharded)
         self.r_ops = None
         self._i8_ops_fn = None
