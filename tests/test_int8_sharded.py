@@ -248,6 +248,24 @@ def test_from_int8_grid_mesh_requires_sharded():
                                mesh=default_mesh(dp=1, sp=8))
 
 
+def test_sharded_pipeline_exposed():
+    """pipeline() for the sharded strategies: run(search, *ops) must
+    reproduce query() for both the f32 and int8 stores (user-space
+    queries; the int8 grid transform + d2 rescale ride inside run)."""
+    rng = np.random.default_rng(13)
+    ref = rng.random((4_000, 6), np.float32)
+    q = rng.random((8, 6), np.float32)
+    mesh = default_mesh(dp=1, sp=8)
+    for store in ("float32", "int8"):
+        ix = NNIndex(ref, store=store, strategy="sharded", mesh=mesh)
+        run, ops = ix.pipeline(8)
+        pi, pd = run(q, *ops)
+        qi, qd = ix.query(q)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(qi))
+        np.testing.assert_allclose(np.asarray(pd), np.asarray(qd),
+                                   rtol=1e-6)
+
+
 def test_sharded_int8_save_excluded():
     rng = np.random.default_rng(7)
     ix = NNIndex(rng.random((1_000, 3), np.float32), store="int8",

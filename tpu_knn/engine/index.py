@@ -1189,12 +1189,37 @@ class NNIndex:
         jit-traceable and `ops` the device-resident prepared operands.
 
         For integrations that embed the query in a larger jit (or an
-        amplified timing loop) — only the fused/auto strategies have a
-        single-program prepared pipeline to expose."""
+        amplified timing loop). fused/auto expose the prepared
+        single-chip pipeline; "sharded" exposes the shard_map pipeline
+        over the pre-sharded operands (ops = (r_sharded,)) — queries in
+        USER space for every store (the int8 grid transform and d2
+        rescale ride inside the returned run). The spatial strategies
+        (kdtree/projection) have no single-program pipeline."""
+        if self.strategy == "sharded":
+            if self.store == "int8":
+                from tpu_knn.distributed.sharded import _build_sharded_int8
+
+                run0 = _build_sharded_int8(
+                    m, self.n, self.k, self._n_local, self.mesh,
+                    cutoff_scale=1.0 / self._i8_s2)
+                z = self._i8_zero_dev
+                inv_s, s2 = self._i8_inv_s, self._i8_s2
+
+                @jax.jit
+                def run_i8(search, grid):
+                    idx, d2 = run0((search - z) * inv_s, grid)
+                    return idx, d2 * s2
+
+                return run_i8, (self.r_sharded,)
+            from tpu_knn.distributed.sharded import _build_sharded
+
+            run = _build_sharded(m, self.n, self.k, self.mesh,
+                                 tile_n=self.tile_n, prepadded=True)
+            return run, (self.r_sharded,)
         if self.strategy not in ("fused", "auto"):
             raise ValueError(
-                f"pipeline() requires the fused/auto strategy, not "
-                f"{self.strategy!r}")
+                f"pipeline() requires the fused/auto/sharded strategy, "
+                f"not {self.strategy!r}")
         if self.store == "int8":
             return self._i8_pipeline(m)
         from tpu_knn.kernels.smallm import smallm_applicable
