@@ -120,11 +120,38 @@ def main():
                       f"pmin={rows[-1]['collective_bytes_per_device']['pmin_2round']}B "
                       f"ring={rows[-1]['collective_bytes_per_device']['ring']}B "
                       f"check={rows[-1]['check']}", flush=True)
+    # The capacity side of the multi-chip story: MEASURED per-chip
+    # point ceilings by storage tier (largest power-of-two index that
+    # built and served on the real 16 GB v5e at k=16 — scripts/
+    # r8_probe_capacity.py, r10_probe_int8_capacity.py; query-time
+    # temps keep the ceiling below the raw byte arithmetic), times the
+    # shard count via strategy="sharded" (per-shard state is the
+    # shard's rows only; wrapper measured free,
+    # scripts/r11_sharded_overhead.py).
+    k_cap = 16
+    capacity = []
+    for store, bpp, measured_pow2, extra in (
+            ("float32", 4 * k_cap * 2, 26, "AoS + SoA f32 operands"),
+            ("bf16", 2 * k_cap * 2, 27, "AoS + SoA bf16 operands"),
+            ("int8", k_cap, 28, "the int8 grid ONLY")):
+        capacity.append({
+            "store": store, "k": k_cap,
+            "resident_bytes_per_point": bpp,
+            "state": extra,
+            "measured_points_per_chip_pow2": measured_pow2,
+            "points_v5e8_slice_pow2": measured_pow2 + 3,
+        })
     out = {
         "note": "virtual 8-device CPU mesh: work split + collective bytes "
                 "are exact; wall time is meaningless here by design "
                 "(see docs/PERF_NOTES.md 'Multi-chip projection')",
         "rows": rows,
+        "capacity_note": "measured per-16GB-chip point ceilings by "
+                         "storage tier at k=16 (largest power-of-two "
+                         "index that built AND served on the real "
+                         "chip), times 8 shards for a v5e-8 slice via "
+                         "strategy='sharded'",
+        "capacity": capacity,
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "MESH_SCALING.json")
