@@ -331,16 +331,24 @@ def main():
             return _consume(c, da, ia)
 
         ms, iters = calibrated_amplified_ms(prep_step, q, ops)
+        ia_p, _da_p = run_prep(q, *ops)
+        errs_p, tot_p = device_gate_vs_v2(q, r, ia_p)
         details["rows"].append({
             "name": "ds11_prepared_index",
             "k": k, "m": m, "n": n, "ms": round(ms, 3),
             "timing": f"amplified x{iters}",
             "prepare_s": round(build_s, 2),
             "qps": round(m / (ms / 1e3)),
+            "errors": f"{errs_p}/{tot_p}",
+            "gate": "on-device v2 differential",
             "note": "NNIndex(strategy=fused): SoA layout paid once",
         })
-        print(f"# ds11 prepared-index query: {ms:.3f} ms", file=sys.stderr,
-              flush=True)
+        if errs_p:
+            print("CORRECTNESS FAILURE on ds11_prepared_index",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# ds11 prepared-index query: {ms:.3f} ms "
+              f"errors {errs_p}/{tot_p}", file=sys.stderr, flush=True)
 
         # Prepared serving at the m=1 bandwidth-bound shapes (ds8/ds9):
         # NNIndex routes m<=4 to the diff-form VPU kernel (smallm.py) off
@@ -610,8 +618,21 @@ def main():
             return _consume(c, da, ia, ok)
 
         v11_ms, v11_iters = calibrated_amplified_ms(v11_step, qv, pre)
+        # Gate: certified rows are PROVABLY exact — check them against
+        # the independent v2 path (uncertified rows fall back to a full
+        # scan in production; the auto row below gates that pipeline).
+        errs_w = None
+        if certified == 16:
+            errs_w, _totw = device_gate_vs_v2(qv, rv, out[0])
+            if errs_w:
+                print("CORRECTNESS FAILURE on v11_window_16x1x2^24_k3",
+                      file=sys.stderr)
+                sys.exit(1)
         details["rows"].append({
             "name": "v11_window_16x1x2^24_k3",
+            **({"errors": f"{errs_w}/16",
+                "gate": "on-device v2 differential"}
+               if errs_w is not None else {}),
             "ms": round(v11_ms, 3),
             "timing": f"amplified x{v11_iters}",
             "build_s": round(v11_build_s, 2),
@@ -687,15 +708,30 @@ def main():
             query_times.append((time.time() - t0) * 1e3)
         jax.block_until_ready(ik)
         kd_query_ms = sorted(query_times)[2]
+        try:
+            from tpu_knn import native as _nat
+
+            kd_base, _ = _nat.oracle(qk, rk)
+        except Exception:
+            from tpu_knn.oracle import oracle_knn as _ok
+
+            kd_base = _ok(qk, rk)
+        kd_errs, kd_tot = check_results(kd_base, np.asarray(ik), qk, rk)
         details["rows"].append({
             "name": "kdtree_3x1024x65536",
             "build_ms": round(kd_build_ms, 2),
             "query_ms": round(kd_query_ms, 3),
             "timing": "median of 5 (host-side, shared CPU)",
             "backend": "native kdt2 (leaf-bucketed serving tree)",
+            "errors": f"{kd_errs}/{kd_tot}",
+            "gate": "host oracle",
             "reference": "v9 build 18.7ms query 1.07ms; v10 query 0.43ms "
                          "(README.md:334-343)",
         })
+        if kd_errs:
+            print("CORRECTNESS FAILURE on kdtree_3x1024x65536",
+                  file=sys.stderr)
+            sys.exit(1)
         print(f"# kdtree (3,1024,65536): build {kd_build_ms:.1f} ms, "
               f"query {kd_query_ms:.2f} ms", file=sys.stderr, flush=True)
 

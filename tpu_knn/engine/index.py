@@ -41,9 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_knn.kernels.fused import (
-    DEFAULT_PRECISION, _build_fused_candidates, _I32_MAX,
-)
+from tpu_knn.kernels.fused import DEFAULT_PRECISION, _build_fused_candidates
 from tpu_knn.kernels.tuning import pick_tiles
 from tpu_knn.utils.shapes import round_up
 
