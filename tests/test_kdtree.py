@@ -156,7 +156,7 @@ def test_v10_never_selected_by_dispatch():
 
 
 @pytest.mark.parametrize("data", ["tied_uniform", "constant_dim", "lattice",
-                                  "duplicates"])
+                                  "duplicates", "all_constant"])
 def test_native_vs_numpy_build_adversarial_variance(data):
     """Native and NumPy builds must be EQUIVALENT on data where the
     max-variance / median split heuristics tie (VERDICT round 1, item 9).
@@ -180,9 +180,16 @@ def test_native_vs_numpy_build_adversarial_variance(data):
         g = np.stack(np.meshgrid(np.arange(8), np.arange(8), np.arange(8)),
                      axis=-1).reshape(-1, 3).astype(np.float32)
         ref = g / 8.0                              # exactly equal variances
-    else:  # duplicates
+    elif data == "duplicates":
         base = rng.random((8, 4), np.float32)
         ref = np.repeat(base, n // 8, axis=0)      # massive duplication
+    else:  # all_constant
+        # EVERY real dim's sampled variance rounds negative (catastrophic
+        # cancellation in sum2/used - mean^2), so a zero-padded dim's exact
+        # 0.0 variance would win unless the scan is limited to real dims —
+        # the packed build then stores dim[node] >= k and the native query
+        # reads past the k-wide row (regression: kd_build_rec_t).
+        ref = np.full((n, 3), 0.1, np.float32)
     ref = np.ascontiguousarray(ref, np.float32)
     nat = build_kdtree(ref, prefer_native=True)
     pyt = build_kdtree(ref, prefer_native=False)

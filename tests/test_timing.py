@@ -52,22 +52,3 @@ def test_calibrated_grows_iters_for_fast_steps():
     assert iters > 8  # a microsecond step must be amplified well past the probe
 
 
-def test_calibrated_amplified_ms_state_carries_state():
-    """The carried-state amplifier must thread non-scalar state through
-    the loop (operands as jit args, not closure constants) and return a
-    sane per-iteration time."""
-    import jax
-    import jax.numpy as jnp
-
-    from tpu_knn.harness.timing import calibrated_amplified_ms_state
-
-    def step(i, st, bias):
-        c, arr = st
-        arr = jax.lax.dynamic_update_slice(
-            arr, arr[0:1, 0:1] + 1.0, (0, 0))
-        return (c + arr[0, 0] + bias, arr)
-
-    state0 = (jnp.float32(0.0), jnp.zeros((8, 128), jnp.float32))
-    ms, iters = calibrated_amplified_ms_state(
-        step, state0, jnp.float32(0.5), target_ms=5.0, max_iters=64)
-    assert ms > 0 and 1 <= iters <= 64

@@ -412,6 +412,7 @@ def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
     batch top-K engine."""
     from tpu_knn.distributed.collectives import topk_allreduce
     from tpu_knn.kernels.fused import auto_precision
+    from tpu_knn.kernels.smallm import SMALLM_MAX_M
     from tpu_knn.kernels.topk import (
         MAX_NEIGHBORS, _auto_method, _build_aos_topk, _build_topk,
     )
@@ -429,7 +430,7 @@ def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
     # query_radius's cap escalation — whenever int8_sharded_layout's
     # 128-row granularity makes n_local small (review r11).
     kk_local = min(kk, n_local)
-    small = m <= 4 * dp and kk_local <= MAX_NEIGHBORS
+    small = m <= SMALLM_MAX_M * dp and kk_local <= MAX_NEIGHBORS
     m_pad = round_up(m, dp) if small else round_up(m, dp * 8)
     m_local = m_pad // dp
     if small:

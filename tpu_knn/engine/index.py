@@ -1197,18 +1197,24 @@ class NNIndex:
             if self.store == "int8":
                 from tpu_knn.distributed.sharded import _build_sharded_int8
 
-                run0 = _build_sharded_int8(
-                    m, self.n, self.k, self._n_local, self.mesh,
-                    cutoff_scale=1.0 / self._i8_s2)
-                z = self._i8_zero_dev
-                inv_s, s2 = self._i8_inv_s, self._i8_s2
+                # Cache the jitted wrapper per m: a fresh @jax.jit closure
+                # is a jit-cache miss on every call (CLAUDE.md trap; same
+                # rule as _i8_pipe_cache on the fused path).
+                cache = self.__dict__.setdefault("_sharded_i8_pipe_cache", {})
+                if m not in cache:
+                    run0 = _build_sharded_int8(
+                        m, self.n, self.k, self._n_local, self.mesh,
+                        cutoff_scale=1.0 / self._i8_s2)
+                    z = self._i8_zero_dev
+                    inv_s, s2 = self._i8_inv_s, self._i8_s2
 
-                @jax.jit
-                def run_i8(search, grid):
-                    idx, d2 = run0((search - z) * inv_s, grid)
-                    return idx, d2 * s2
+                    @jax.jit
+                    def run_i8(search, grid):
+                        idx, d2 = run0((search - z) * inv_s, grid)
+                        return idx, d2 * s2
 
-                return run_i8, (self.r_sharded,)
+                    cache[m] = run_i8
+                return cache[m], (self.r_sharded,)
             from tpu_knn.distributed.sharded import _build_sharded
 
             run = _build_sharded(m, self.n, self.k, self.mesh,

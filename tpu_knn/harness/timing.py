@@ -160,51 +160,6 @@ def calibrated_amplified_ms(step: Callable, *args, target_ms: float = 400.0,
     return best, iters
 
 
-def calibrated_amplified_ms_state(step, state0, *args,
-                                  target_ms: float = 400.0,
-                                  max_iters: int = 8192, reps: int = 2):
-    """:func:`calibrated_amplified_ms` for steps that carry STATE:
-    ``step(i, state, *args) -> state`` with ``state`` a pytree whose
-    first leaf is the f32 scalar read back for completion.
-
-    Why: the scalar-carry protocol must perturb every large operand via
-    ``x + i*eps`` to defeat loop-invariant hoisting, and that add
-    materializes a full copy per iteration when the consumer cannot
-    fuse it (measured: the ds9 per-call row paid a ~3.5 ms non-fusing
-    1 GB copy at k=16 — a protocol artifact, not pipeline cost). A
-    carried operand lives in the loop state, where XLA aliases the
-    buffers: a one-element dynamic update keeps it loop-variant for
-    ~free, so the measured time is the pipeline's own.
-    """
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    @jax.jit
-    def loop(iters, st0, *a):
-        # state0 is a jit ARGUMENT, not a closure capture: captured
-        # device arrays are baked into the program as constants and the
-        # remote-compile request ships them (observed HTTP 413 at 1 GB).
-        out = jax.lax.fori_loop(
-            0, iters, lambda i, st: step(i, st, *a), st0)
-        return jax.tree_util.tree_leaves(out)[0]
-
-    def run(iters: int) -> float:
-        t0 = time.perf_counter()
-        np.asarray(loop(jnp.int32(iters), state0, *args))
-        return (time.perf_counter() - t0) / iters * 1e3
-
-    run(1)
-    iters, est = 8, run(8)
-    while iters < max_iters and iters * est < 0.8 * target_ms:
-        iters = max(iters, min(max_iters, int(target_ms / max(est, 1e-4))))
-        est = run(iters)
-    best = est
-    for _ in range(reps - 1):
-        best = min(best, run(iters))
-    return best, iters
-
-
 def trace(logdir: str):
     """jax.profiler trace context (the deep-dive probe)."""
     import jax

@@ -199,8 +199,11 @@ static void kd_build_rec(BuildCtx& ctx, int node, int lo, int hi) {
 // partition touch sequential memory instead of gathering through a
 // permutation (3-4x faster serially than the order-based build above,
 // which is kept as the generic fallback for k > 16). Coordinates past k
-// are zero-padded; their variance is 0 so they are never selected (the
-// strict `>` from best_var = -1 picks a real dimension first).
+// are zero-padded; the variance scan runs over the REAL k dims only —
+// a padded dim's exact 0.0 variance would otherwise beat a real
+// constant dim whose sampled variance rounds negative (catastrophic
+// cancellation in sum2/used - mean^2 on duplicate-heavy data), storing
+// dim[node] >= k and reading past the k-wide row at query time.
 template <int KP>
 struct KdRec {
   float c[KP];
@@ -208,8 +211,8 @@ struct KdRec {
 };
 
 template <int KP>
-static void kd_build_rec_t(KdRec<KP>* recs, int64_t node, int lo, int hi,
-                           int32_t* p, int32_t* dim) {
+static void kd_build_rec_t(KdRec<KP>* recs, int k, int64_t node, int lo,
+                           int hi, int32_t* p, int32_t* dim) {
   if (lo >= hi) return;
   const int cnt = hi - lo;
   // Max-variance dim over a deterministic stride-sample (<= ~512 points,
@@ -222,7 +225,7 @@ static void kd_build_rec_t(KdRec<KP>* recs, int64_t node, int lo, int hi,
   double sum[KP] = {0.0}, sum2[KP] = {0.0};
   int used = 0;
   for (int i = lo; i < hi; i += step) {
-    for (int d = 0; d < KP; d++) {
+    for (int d = 0; d < k; d++) {
       const double v = recs[i].c[d];
       sum[d] += v;
       sum2[d] += v * v;
@@ -231,7 +234,7 @@ static void kd_build_rec_t(KdRec<KP>* recs, int64_t node, int lo, int hi,
   }
   int best_dim = 0;
   double best_var = -1.0;
-  for (int d = 0; d < KP; d++) {
+  for (int d = 0; d < k; d++) {
     const double mean = sum[d] / used;
     const double var = sum2[d] / used - mean * mean;
     if (var > best_var) {
@@ -246,8 +249,8 @@ static void kd_build_rec_t(KdRec<KP>* recs, int64_t node, int lo, int hi,
                    });
   p[node] = recs[mid].idx;
   dim[node] = best_dim;
-  kd_build_rec_t<KP>(recs, 2 * node, lo, mid, p, dim);
-  kd_build_rec_t<KP>(recs, 2 * node + 1, mid + 1, hi, p, dim);
+  kd_build_rec_t<KP>(recs, k, 2 * node, lo, mid, p, dim);
+  kd_build_rec_t<KP>(recs, k, 2 * node + 1, mid + 1, hi, p, dim);
 }
 
 template <int KP>
@@ -260,7 +263,7 @@ static void kd_build_packed(int k, int n, const float* ref, int32_t* p,
     }
     recs[i].idx = i;
   }
-  kd_build_rec_t<KP>(recs.data(), 1, 0, n, p, dim);
+  kd_build_rec_t<KP>(recs.data(), k, 1, 0, n, p, dim);
 }
 
 extern "C" {
