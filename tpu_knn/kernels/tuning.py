@@ -44,14 +44,18 @@ def pick_tiles(k: int, m: int, n: int, tile_m: int | None = None,
     512x8192 compiles and wins ~6% at ds11; bf16x3's f32 temps OOM there).
     """
     if tile_m is None:
-        # Short n sweeps favor smaller tiles (measured: 256x1024 = 1.63 ms
-        # vs 512x2048 = 1.92 ms at (16,1024,65536); the ordering flips at
-        # n=2^20 where 512x2048 wins 5.7 vs 6.1 ms).
-        cap = 256 if n <= (1 << 17) else 512
-        tile_m = min(cap, round_up(m, SUBLANE))
-    # 256x1024 measured best for short sweeps -> quarter budget there.
-    budget = SCORE_TILE_BUDGET // (4 if n <= (1 << 17) else 1)
-    if wide and n > (1 << 17):
+        tile_m = min(512, round_up(m, SUBLANE))
+    # One policy for every n: the widest proven-safe tiles. The former
+    # short-n (n <= 2^17) quarter-budget/256-row rule came from a sweep
+    # under the old refine-dominated pipeline; re-measured after the
+    # top-T refine collapse (scripts/r12_probe_ds6b.py, v5e 2026-08-19)
+    # the ordering is inverted — at (1024, 65536) the 256x1024 grid's
+    # 256 cells cost ~0.6 us each in per-invocation overhead while the
+    # whole reference read is ~3 us: 512x8192 wins 0.200 vs 0.271 ms
+    # (k=3) and 0.210 vs 0.272 (k=16); every geometry from 256x2048 up
+    # beats the old default.
+    budget = SCORE_TILE_BUDGET
+    if wide:
         budget *= 4
     tile_n = min(MAX_TILE_N, budget // tile_m)
     tile_n = min(tile_n, OPERAND_TILE_BUDGET // round_up(k, SUBLANE))
