@@ -62,10 +62,20 @@ def _build_smallm_prepared(m: int, n: int, k: int, aos_ok: bool = True):
     (filtered views, whose shared ref_dev is NOT masked) forces the
     masked-operand Pallas path at every m."""
     from tpu_knn.kernels.smallm import (
-        AOS_SCAN_MAX_KPAD_WASTE_K, _build_aos_scan, _build_smallm_candidates,
+        AOS_SCAN_MAX_KPAD_WASTE_K, SMALLM_MAX_K, _build_aos_scan,
+        _build_smallm_candidates,
     )
 
-    if k < AOS_SCAN_MAX_KPAD_WASTE_K and m == 1 and aos_ok:
+    if k > SMALLM_MAX_K and not aos_ok:
+        # Filtered views at embedding-scale k: neither small-m engine
+        # can serve (the Pallas kernel caps at k <= 32; the AoS scan
+        # would read the shared UNMASKED ref_dev) — the caller must
+        # keep the masked-operand fused pipeline.
+        raise ValueError(
+            f"smallm prepared route needs k <= {SMALLM_MAX_K} or an "
+            f"AoS-maskable index, got k={k} with aos_ok=False")
+    if (k < AOS_SCAN_MAX_KPAD_WASTE_K and m == 1 and aos_ok) \
+            or k > SMALLM_MAX_K:
         scan = _build_aos_scan(m, n, k)
 
         @jax.jit
@@ -1226,14 +1236,17 @@ class NNIndex:
                 f"not {self.strategy!r}")
         if self.store == "int8":
             return self._i8_pipeline(m)
-        from tpu_knn.kernels.smallm import smallm_applicable
+        from tpu_knn.kernels.smallm import (
+            aos_scan_applicable, smallm_applicable,
+        )
 
         n = self._n_eff
-        if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
-            return (_build_smallm_prepared(
-                m, n, self.k,
-                aos_ok=getattr(self, "_aos_selfmasked", True)),
-                (self.r_ops, self.ref_dev))
+        aos_ok = getattr(self, "_aos_selfmasked", True)
+        if (smallm_applicable(m, self.k, n)
+                or (aos_ok and aos_scan_applicable(m, self.k, n))) \
+                and len(self.r_ops) == 1:
+            return (_build_smallm_prepared(m, n, self.k, aos_ok=aos_ok),
+                    (self.r_ops, self.ref_dev))
         tile_m, _ = pick_tiles(self.k, m, n)
         run = _build_prepared_query(m, n, self.k, tile_m,
                                     self.tile_n, self.precision)
@@ -1495,14 +1508,22 @@ class NNIndex:
                     self._note_projection_batch(ok)
                     return idx, d2
                 self.last_strategy = "fused"
-            from tpu_knn.kernels.smallm import smallm_applicable
+            from tpu_knn.kernels.smallm import (
+                aos_scan_applicable, smallm_applicable,
+            )
 
             n = self._n_eff
             aos_ok = getattr(self, "_aos_selfmasked", True)
-            if smallm_applicable(m, self.k, n) and len(self.r_ops) == 1:
+            if (smallm_applicable(m, self.k, n)
+                    or (aos_ok and aos_scan_applicable(m, self.k, n))) \
+                    and len(self.r_ops) == 1:
                 # The diff-form VPU kernel serves tiny batches off the
                 # very same SoA operand (still the "fused" strategy — a
-                # kernel choice, not a route).
+                # kernel choice, not a route). Embedding-scale k (> 32)
+                # at m <= 4 takes the roofline AoS scan over ref_dev
+                # instead (aos_scan_applicable) — PAD/tombstone +inf
+                # rows self-exclude; filtered views (aos_ok=False) keep
+                # the masked fused pipeline.
                 run = _build_smallm_prepared(m, n, self.k, aos_ok=aos_ok)
                 return run(search, self.r_ops, self.ref_dev)
             from tpu_knn.kernels.dense import dense_applicable, _dense

@@ -755,9 +755,15 @@ def fused_knn(search, ref, *, soa: bool = True,
         # array — no SoA relayout (PERF_NOTES "Per-call prep
         # transpose"). Explicit tile/precision arguments signal
         # measurement intent and keep the MXU path.
-        from tpu_knn.kernels.smallm import smallm_applicable, smallm_knn
+        from tpu_knn.kernels.smallm import (
+            aos_scan_applicable, smallm_applicable, smallm_knn,
+        )
 
-        if smallm_applicable(m, k, n):
+        if smallm_applicable(m, k, n) or aos_scan_applicable(m, k, n):
+            # aos_scan_applicable: embedding-scale k (> 32) at m <= 4 —
+            # the fused pipeline's operand-budget tiles stream far below
+            # HBM bandwidth there while the AoS scan stays at roofline
+            # (measured m=1 k=768: 37.4 -> ~5 ms, r14_probe_highk).
             return smallm_knn(search, ref)
         # Small reference sets skip the streaming pipeline entirely: the
         # dense exact path beats the fold/select/rerank fixed costs below

@@ -314,3 +314,15 @@ def smallm_applicable(m: int, k: int, n: int) -> bool:
     """Dispatch predicate: the regime where this kernel beats the fused
     MXU path (small batch, any n, k within the packed-operand range)."""
     return 1 <= m <= SMALLM_MAX_M and 1 <= k <= SMALLM_MAX_K and n >= 1
+
+
+def aos_scan_applicable(m: int, k: int, n: int) -> bool:
+    """Dispatch predicate for the HIGH-DIMENSION small-batch regime
+    (embedding-scale k): the Pallas smallm kernel caps at k <= 32 and
+    the fused MXU pipeline's operand-budget tiles shrink to 128-256
+    lanes at k_pad >= 512, where the stream runs far below HBM
+    bandwidth (measured m=1 k=768 n=2^20: fused 37.4 ms vs the ~5 ms
+    read floor — scripts/r14_probe_highk.py). The plain-XLA AoS scan
+    has no k limit and stays at roofline (one fused diff-form pass per
+    row), so small batches above the smallm range route here."""
+    return 1 <= m <= SMALLM_MAX_M and k > SMALLM_MAX_K and n >= 1

@@ -1092,11 +1092,20 @@ def _inflate_bound(bound, lo=None):
     return bound
 
 
-def _extract_tile_n(n_ops: int, max_tile_n: int) -> int:
+def _extract_tile_n(n_ops: int, max_tile_n: int, k: int) -> int:
     """Widest 128 * 2^p tile <= max_tile_n dividing the prepadded operand
     width — the moment-extraction kernel needs a power-of-two chunk count
     whose moment columns divide or are divisible by 128 (shared by both
-    seeded builders)."""
+    seeded builders).
+
+    The (k_pad, tile_n) reference tile is double-buffered by the Pallas
+    pipeline, so wide k must shrink tile_n just as in fused.pick_tiles
+    (same OPERAND_TILE_BUDGET): unclamped, k=768 at tile_n=8192 is a
+    24 MB operand tile — 48 MB double-buffered against the ~16 MB
+    scoped-VMEM limit (observed OOM, scripts/r14_probe_highk.py)."""
+    from tpu_knn.kernels.tuning import OPERAND_TILE_BUDGET
+
+    max_tile_n = min(max_tile_n, OPERAND_TILE_BUDGET // round_up(k, 8))
     t = 128
     while t * 2 <= min(max_tile_n, n_ops) and n_ops % (t * 2) == 0:
         t *= 2
@@ -1127,7 +1136,7 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     ceil(K/64) * ~2 reads: measured numbers in docs/PERF_NOTES.md
     "Round-3" item 8."""
     tile_m = min(256, round_up(m, 8))
-    t = _extract_tile_n(n_ops, 4096)
+    t = _extract_tile_n(n_ops, 4096, k)
     extract = _build_extract_candidates(m, n, k, tile_m, t, precision,
                                         n_ops=n_ops, kk=SEEDED_ROUND_K,
                                         banded=True)
@@ -1350,7 +1359,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # (128 always does).
         tile_m = min(256, round_up(m, 8))
         max_tile_n = 8192 if kk <= 16 else 4096
-        tile_n = _extract_tile_n(n_ops, max_tile_n)
+        tile_n = _extract_tile_n(n_ops, max_tile_n, k)
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
         # Pass 1 (the bound): the banded candidates kernel with a -inf
@@ -1628,17 +1637,21 @@ def _build_aos_topk(m: int, n: int, k: int, kk: int, masked: bool = False):
 @functools.lru_cache(maxsize=None)
 def _build_topk_percall(m: int, n: int, k: int, kk: int, precision: str,
                         method: str = "auto"):
-    from tpu_knn.kernels.smallm import SMALLM_MAX_M
+    from tpu_knn.kernels.smallm import SMALLM_MAX_K, SMALLM_MAX_M
 
     if method == "aos" or (
             method == "auto" and kk <= MAX_NEIGHBORS
-            and (m <= 2 or (m <= SMALLM_MAX_M and k < 8))):
+            and (m <= 2 or (m <= SMALLM_MAX_M
+                            and (k < 8 or k > SMALLM_MAX_K)))):
         # Per-call small-m: zero-prep AoS engine (the pad+T relayout
         # alone costs ~2x this engine's whole runtime at (2^24, 16)).
         # The engine is linear in m (one roofline scan per row), so auto
         # hands m >= 3 at k >= 8 back to prep+sweep (~6.9 ms flat at
         # (2^24,16,K=16) vs m x 2.05 here); at k < 8 the relayout's 8/k
-        # read amplification keeps aos ahead through m=4.
+        # read amplification keeps aos ahead through m=4, and at
+        # embedding-scale k (> 32) the sweep's operand-budget tiles
+        # stream far below bandwidth while the relayout doubles the
+        # already-large prep traffic — aos covers m <= 4 there too.
         if not (1 <= m <= SMALLM_MAX_M):
             raise ValueError(
                 f"aos top-K serves 1 <= m <= {SMALLM_MAX_M}, got {m}")
