@@ -9,7 +9,14 @@ refactor can't silently drop the source from the wheel.
 """
 
 import os
-import tomllib
+
+try:
+    import tomllib  # stdlib on >=3.11
+except ImportError:  # pragma: no cover - pyproject allows 3.10
+    import pytest
+
+    tomllib = pytest.importorskip(
+        "tomli", reason="tomllib needs Python >=3.11 (or the tomli backport)")
 
 import tpu_knn
 

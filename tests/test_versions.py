@@ -140,3 +140,31 @@ def test_v5_guard_delegates_wide_k_to_v4():
     want = oracle_callback(k, m, n, search, ref)
     errors, total = check_results(want, got, search, ref)
     assert errors == 0
+
+
+def test_v3_guard_delegates_big_n_to_v4(monkeypatch):
+    """v3's AoS (n, k) operand lives in (8,128)-tiled HBM pages — 8 GB at
+    n=2^24 regardless of k — which crashes the TPU AOT compile helper
+    (docs/VERSION_BENCH.md footnote [1]). The guard must delegate the
+    reference's big-n shapes (ds8/ds9, which reference v3 runs at
+    core.cu:231-312) to v4 instead of crashing the worker."""
+    from tpu_knn.engine.registry import get_version
+    from tpu_knn.kernels import fused
+
+    assert fused._v3_guard(3, 1024, 1 << 20)    # ds10/ds11 stay on v3
+    assert fused._v3_guard(16, 1024, 1 << 20)
+    assert not fused._v3_guard(3, 1, 1 << 24)   # ds8: 8 GB padded operand
+    assert not fused._v3_guard(16, 1, 1 << 24)  # ds9
+
+    # The delegation end-to-end, with the threshold lowered so the "big-n"
+    # problem stays cheap on the CPU test backend.
+    monkeypatch.setattr(fused, "V3_MAX_PADDED_AOS_BYTES", 1 << 20)
+    k, m, n = 3, 4, 50_000  # padded AoS ~25.6 MB > 1 MB -> v4
+    assert not fused._v3_guard(k, m, n)
+    rng = np.random.default_rng(33)
+    search = rng.random((m, k), np.float32)
+    ref = rng.random((n, k), np.float32)
+    got = get_version("v3")(k, m, n, search, ref)
+    want = oracle_callback(k, m, n, search, ref)
+    errors, total = check_results(want, got, search, ref)
+    assert errors == 0

@@ -791,6 +791,21 @@ def _to_host(idx) -> np.ndarray:
     return np.asarray(jax.device_get(idx), dtype=np.int32)
 
 
+#: v3 keeps the reference in AoS (n, k) layout. On TPU an (n, k<=16) f32
+#: array is stored in (8, 128)-tiled HBM pages, so the operand occupies
+#: round_up(n,8)*128*4 bytes regardless of k — 8 GB at n=2^24, which
+#: crashes the AOT compile helper (docs/VERSION_BENCH.md footnote [1]).
+#: Cap the padded operand at 2 GB (n <= 2^22) and delegate bigger n to
+#: v4, whose one XLA relayout produces the SoA (k, n) operand that packs
+#: lanes densely — the same delegation discipline as the reference's
+#: v5->v4 / v6->v4 guards (core.cu:481-485, 603-607).
+V3_MAX_PADDED_AOS_BYTES = 2 << 30
+
+
+def _v3_guard(k, m, n):
+    return round_up(n, 8) * 128 * 4 <= V3_MAX_PADDED_AOS_BYTES
+
+
 def v3_callback(k, m, n, search, ref):
     idx, _ = fused_knn(search, ref, soa=False)
     return _to_host(idx)
@@ -821,6 +836,8 @@ register_version(
     v3_callback,
     "fused Pallas streaming kernel, AoS reference layout with per-tile "
     "on-chip transpose (reference v3, core.cu:231-312)",
+    guard=_v3_guard,
+    fallback="v4",
 )
 register_version(
     "v4",

@@ -15,7 +15,30 @@ import subprocess
 import tempfile
 
 _SRC = os.path.join(os.path.dirname(__file__), "src", "tpuknn_native.cc")
-_CACHE_DIR = os.path.join(os.path.dirname(__file__), "_build")
+
+
+def _pick_cache_dir() -> str:
+    """Build-artifact directory: prefer the in-package `_build` (shared by
+    all users of a writable checkout), but a wheel installed into a
+    read-only site-packages (system/root install, immutable container)
+    must not fail on first native use — fall back to a per-user XDG cache
+    keyed by the same content+toolchain hash."""
+    pkg = os.path.join(os.path.dirname(__file__), "_build")
+    try:
+        os.makedirs(pkg, exist_ok=True)
+        probe = tempfile.mkstemp(dir=pkg)
+        os.close(probe[0])
+        os.unlink(probe[1])
+        return pkg
+    except OSError:
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache")
+        user = os.path.join(base, "tpu-knn")
+        os.makedirs(user, exist_ok=True)
+        return user
+
+
+_CACHE_DIR = _pick_cache_dir()
 
 CXX = os.environ.get("CXX", "g++")
 # -ffp-contract=off: no FMA contraction, so the oracle's float32 rounding is
