@@ -132,6 +132,16 @@ def _qr_dot_packed(q_tile, r_tile, n_splits: int, pairs):
 def _qr_dot(q_tile, r_tile, precision: str):
     """(tile_m, kp) x (kp, tile_n) -> (tile_m, tile_n) f32 on the MXU."""
     dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16_raw":
+        # ONE uncompensated bf16 pass (~2^-8 relative representation
+        # error) — 3x less MXU than bf16x3 at contraction widths too
+        # wide to pack. Selection-quality only: callers must pair it
+        # with exact refinement AND accept bf16-resolution near-tie
+        # misrank (evaluated at embedding scale in
+        # scripts/r16_measure_misc.py section E).
+        return jax.lax.dot_general(
+            q_tile.astype(jnp.bfloat16), r_tile.astype(jnp.bfloat16),
+            dimension_numbers=dims, preferred_element_type=jnp.float32)
     if precision == "packed":
         n_splits, pairs = _packed_terms(q_tile.shape[1])
         if n_splits:
@@ -578,6 +588,121 @@ def _build_banded_candidates(m: int, n: int, k: int,
 
     candidates.prep_soa = prep_soa
     return candidates
+
+
+def _fused_minima_kernel(q_ref, r_ref, *rest,
+                         n: int, tile_n: int, n_tiles: int,
+                         precision: str, banded: bool):
+    """VALUE-ONLY per-lane minima fold — the seeded engines' pass 1.
+
+    The seeded top-K bound (kernels/topk.py) needs only the K-th smallest
+    of each row's 128 per-lane score minima; the banded kernel's index
+    fold (lane iota + a second select per 128-lane chunk) is dead weight
+    there — this kernel's hot loop is one compare + one select, cutting
+    pass 1 from ~2.4 ms to ~1.6 at ds11 scale (scripts/r15_profile_
+    seeded.py). Value semantics match _fold_scores exactly (strict <,
+    NaN never enters the carry — a NaN bound is turned +inf by
+    _inflate_bound and floods the certificate, never a silent miss).
+    ``banded=True`` adds a per-row exclusive lower bound lo: only
+    s > lo folds — the strictly-greater band the multi-round engine's
+    pass 1 uses (bound_i == I32_MAX lex semantics)."""
+    if banded:
+        lo_ref, out_s_ref, best_s = rest
+    else:
+        out_s_ref, best_s = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        best_s[:] = jnp.full_like(best_s, jnp.inf)
+
+    s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
+    tile_m = s.shape[0]
+    if n_tiles * tile_n != n:
+        col = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+               + j * tile_n)
+        s = jnp.where(col < n, s, jnp.inf)
+    if banded:
+        s = jnp.where(s > lo_ref[:], s, jnp.inf)
+    cur = best_s[:]
+    for c in range(tile_n // 128):
+        sc = s[:, c * 128:(c + 1) * 128]
+        cur = jnp.where(sc < cur, sc, cur)
+    best_s[:] = cur
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_s_ref[:] = cur
+
+
+@functools.lru_cache(maxsize=None)
+def _build_minima_candidates(m: int, n: int, k: int,
+                             tile_m: int, tile_n: int,
+                             precision: str = DEFAULT_PRECISION,
+                             n_ops: int | None = None,
+                             banded: bool = False):
+    """(search (m,k), SoA ref[, lo (m,1)]) -> (m, 128) f32 per-lane score
+    minima (no indices) — see _fused_minima_kernel. Same score arithmetic
+    and prepadded-operand protocol as _build_banded_candidates, so bounds
+    derived here compare bit-exactly against the extraction kernel's
+    scores."""
+    if tile_n % 128 != 0 or tile_m % 8 != 0:
+        raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
+    k_pad = round_up(k, 8)
+    m_pad = round_up(m, tile_m)
+    n_pad = n_ops if n_ops is not None else round_up(n, tile_n)
+    if n_pad < n or n_pad % tile_n != 0:
+        raise ValueError(f"operand width {n_pad} incompatible with "
+                         f"n={n}, tile_n={tile_n}")
+    m_tiles = m_pad // tile_m
+    n_tiles = n_pad // tile_n
+    scalar_spec = pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        functools.partial(_fused_minima_kernel, n=n, tile_n=tile_n,
+                          n_tiles=n_tiles, precision=precision,
+                          banded=banded),
+        grid=(m_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ] + ([scalar_spec] if banded else []),
+        out_specs=[pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=m_pad * k_pad * 4 + n_pad * k_pad * 4
+            + m_pad * 512,
+            transcendentals=0,
+        ),
+        interpret=interpret_mode(),
+    )
+
+    def prep_soa(ref):
+        return (jnp.pad(ref, ((0, n_pad - n), (0, k_pad - k))).T,)
+
+    def minima(search, ref_ops, lo_s=None):
+        if (lo_s is None) == banded:
+            raise ValueError("lo_s must be passed iff banded=True")
+        (r_op,) = ref_ops
+        if r_op.shape != (k_pad, n_pad):
+            raise ValueError(
+                f"operand shape {r_op.shape} != ({k_pad}, {n_pad})")
+        q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
+        if banded:
+            lo = jnp.pad(lo_s, ((0, m_pad - m), (0, 0)),
+                         constant_values=jnp.inf)
+            (cs,) = call(q, r_op, lo)
+        else:
+            (cs,) = call(q, r_op)
+        return cs[:m]
+
+    minima.prep_soa = prep_soa
+    return minima
 
 
 @functools.lru_cache(maxsize=None)
