@@ -598,9 +598,9 @@ def _fused_minima_kernel(q_ref, r_ref, *rest,
     The seeded top-K bound (kernels/topk.py) needs only the K-th smallest
     of each row's 128 per-lane score minima; the banded kernel's index
     fold (lane iota + a second select per 128-lane chunk) is dead weight
-    there — this kernel's hot loop is one compare + one select, cutting
-    pass 1 from ~2.4 ms to ~1.6 at ds11 scale (scripts/r15_profile_
-    seeded.py). Value semantics match _fold_scores exactly (strict <,
+    there — this kernel's hot loop is one compare + one select
+    (measured against the banded fold in scripts/r15_profile_seeded.py).
+    Value semantics match _fold_scores exactly (strict <,
     NaN never enters the carry — a NaN bound is turned +inf by
     _inflate_bound and floods the certificate, never a silent miss).
     ``banded=True`` adds a per-row exclusive lower bound lo: only

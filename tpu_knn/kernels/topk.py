@@ -64,7 +64,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_knn.kernels.fused import (
-    _build_banded_candidates, _score_tile, _I32_MAX, auto_precision,
+    _build_banded_candidates, _build_minima_candidates, _score_tile,
+    _I32_MAX, auto_precision,
 )
 from tpu_knn.kernels.tuning import pick_tiles
 from tpu_knn.utils.platform import interpret_mode
@@ -106,6 +107,13 @@ SEEDED_ROUND_K = 64
 #: Largest K the seeded engine serves (multi-round); the banded passes
 #: engine remains the certified fallback at every K.
 SEEDED_MAX_NEIGHBORS = PASSES_MAX_NEIGHBORS
+
+#: Extraction tile width for the 8-field 128-lane-cell (K > 32) mode.
+#: The moment matmul's output width is n_fields * tile_n / cell columns
+#: and the MXU pads output lanes to 128, so 2048 (8 * 16 = 128 cols) is
+#: the per-element minimum — 4096's 256 columns double the moment MXU
+#: work (tile sweep: scripts/r15_profile_seeded.py).
+EXTRACT_TILE_N_CUBIC = 2048
 
 #: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
 #: insertion fold costs ~K compare-exchanges per score element over
@@ -449,7 +457,7 @@ def _moment_weights(tile_n: int, cell: int,
 def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
                            n: int, n_pad: int, tile_m: int, tile_n: int,
                            cell: int, n_fields: int, precision: str,
-                           banded: bool = False):
+                           banded: bool = False, emit_rem: bool = False):
     """Bound-thresholded EXTRACTION sweep — the batch-regime top-K
     engine (VERDICT r2 item 1), fourth design iteration.
 
@@ -483,7 +491,9 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
     — half a 128-deep score pass of extra MXU work — and the VPU hot
     loop drops to compare + select.
     """
-    if banded:
+    if banded and emit_rem:
+        lo_ref, w_ref, out_ref, rem_ref = rest
+    elif banded:
         lo_ref, w_ref, out_ref = rest
     else:
         w_ref, out_ref = rest
@@ -507,6 +517,32 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
         # reference by the kernel's own scores, so no element is lost
         # or double-counted across rounds.
         qual = qual & (s > lo_ref[:])
+    if emit_rem:
+        # Fold the per-lane minima of the REMAINDER {score > bound}
+        # alongside the extraction (VERDICT r3 item 1): this pass
+        # already touches every score, and these minima are exactly
+        # what the NEXT round's pre-pass would recompute with a second
+        # full reference read — the needed-th smallest of them bounds
+        # the next band's needed-th remaining score, bit-exactly (same
+        # score arithmetic). ~3 extra VPU ops/element replace a whole
+        # banded pass-1 (~2.4 ms at ds11 scale) per later round.
+        # Padding columns never enter (s > bound is False there iff the
+        # bound is finite, and the col < n mask below covers the rest);
+        # value fold matches _fold_scores (strict <, NaN never enters).
+        above = s > bs_ref[:]
+        if n_pad != n:
+            above = above & (col < n)
+        s_above = jnp.where(above, s, jnp.inf)
+
+        @pl.when(j == 0)
+        def _():
+            rem_ref[:] = jnp.full_like(rem_ref, jnp.inf)
+
+        rem = rem_ref[:]
+        for c in range(tile_n // 128):
+            sc = s_above[:, c * 128:(c + 1) * 128]
+            rem = jnp.where(sc < rem, sc, rem)
+        rem_ref[:] = rem
     mask = jnp.where(qual, 1.0, 0.0).astype(jnp.bfloat16)
     mo = jax.lax.dot_general(
         mask, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -539,13 +575,19 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
 def _build_extract_candidates(m: int, n: int, k: int,
                               tile_m: int, tile_n: int, precision: str,
                               n_ops: int | None = None, kk: int = 16,
-                              banded: bool = False):
+                              banded: bool = False,
+                              emit_rem: bool = False):
     """(search (m,k), SoA ref ops, bound (m,1)[, lo (m,1)]) -> (cnt i32,
     suml f32, sumsq f32) moment arrays of shape (m, n_ops // cell) — see
     _extract_moment_kernel. The cell lane width is exposed as the
     returned callable's `.cell`. With ``banded=True`` the callable takes
     a fourth argument lo (m, 1) and counts the half-open score band
-    (lo, bound] — the multi-round engine's per-round partition."""
+    (lo, bound] — the multi-round engine's per-round partition. With
+    ``emit_rem=True`` (banded only) the moment tuple is followed by an
+    (m, 128) per-lane minima array of the remainder {score > bound} —
+    the next round's bound source, folded in the same read."""
+    if emit_rem and not banded:
+        raise ValueError("emit_rem requires banded=True")
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
     k_pad = round_up(k, 8)
@@ -576,11 +618,13 @@ def _build_extract_candidates(m: int, n: int, k: int,
                                 memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
+    rem_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         functools.partial(_extract_moment_kernel, n=n, n_pad=n_pad,
                           tile_m=tile_m, tile_n=tile_n, cell=cell,
                           n_fields=n_fields, precision=precision,
-                          banded=banded),
+                          banded=banded, emit_rem=emit_rem),
         grid=(m_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
@@ -592,8 +636,10 @@ def _build_extract_candidates(m: int, n: int, k: int,
             pl.BlockSpec(w.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec],
-        out_shape=[jax.ShapeDtypeStruct((m_pad, out_w), jnp.float32)],
+        out_specs=[out_spec] + ([rem_spec] if emit_rem else []),
+        out_shape=[jax.ShapeDtypeStruct((m_pad, out_w), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)]
+           if emit_rem else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * (k_pad + cols),
             bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
@@ -619,10 +665,15 @@ def _build_extract_candidates(m: int, n: int, k: int,
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
                      constant_values=-jnp.inf)
+        rem = None
         if banded:
             lo = jnp.pad(lo_s, ((0, m_pad - m), (0, 0)),
                          constant_values=jnp.inf)
-            (mo,) = call(q, r_op, bs, lo, jnp.asarray(w))
+            if emit_rem:
+                mo, rem = call(q, r_op, bs, lo, jnp.asarray(w))
+                rem = rem[:m]
+            else:
+                (mo,) = call(q, r_op, bs, lo, jnp.asarray(w))
         else:
             (mo,) = call(q, r_op, bs, jnp.asarray(w))
         # Drop the never-written ragged tail columns, split the fields.
@@ -631,7 +682,7 @@ def _build_extract_candidates(m: int, n: int, k: int,
         suml = x[:, :, 1]
         sumsq = 256.0 * x[:, :, 2] + x[:, :, 3]
         if n_fields == _EXTRACT_FIELDS:
-            return cnt, suml, sumsq
+            return (cnt, suml, sumsq) + ((rem,) if emit_rem else ())
         # Combine the sum(l^3) digits in int32: each f32 digit
         # accumulator is exact (< 2^24), but p3 reaches ~5e7 > 2^24, so
         # a float combination would round by up to 2 ulp and silently
@@ -639,7 +690,7 @@ def _build_extract_candidates(m: int, n: int, k: int,
         sumcu = (65536 * x[:, :, 4].astype(jnp.int32)
                  + 256 * x[:, :, 5].astype(jnp.int32)
                  + x[:, :, 6].astype(jnp.int32))
-        return cnt, suml, sumsq, sumcu
+        return (cnt, suml, sumsq, sumcu) + ((rem,) if emit_rem else ())
 
     moments.prep_soa = prep_soa
     moments.cell = cell
@@ -1136,16 +1187,23 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     ceil(K/64) * ~2 reads: measured numbers in docs/PERF_NOTES.md
     "Round-3" item 8."""
     tile_m = min(256, round_up(m, 8))
-    t = _extract_tile_n(n_ops, 4096, k)
+    t = _extract_tile_n(n_ops, EXTRACT_TILE_N_CUBIC, k)
+    # emit_rem: each round's extraction folds the remainder's per-lane
+    # minima in the same read, so rounds >= 2 need NO pre-pass — bound
+    # sources chain through the extractions (1 + rounds reference reads
+    # instead of 2 * rounds).
     extract = _build_extract_candidates(m, n, k, tile_m, t, precision,
                                         n_ops=n_ops, kk=SEEDED_ROUND_K,
-                                        banded=True)
+                                        banded=True, emit_rem=True)
     p1_tile_m, p1_tile_n = pick_tiles(k, m, n,
                                       wide=precision == "packed")
     p1_tile_n = min(p1_tile_n, n_ops)
     while n_ops % p1_tile_n != 0:
         p1_tile_n -= 128
-    pass1 = _build_banded_candidates(m, n, k, p1_tile_m, p1_tile_n,
+    # Round 1's bound source: the VALUE-ONLY minima fold (the index fold
+    # is dead weight when only the K-th smallest lane minimum is used —
+    # fused.py:_fused_minima_kernel).
+    pass1 = _build_minima_candidates(m, n, k, p1_tile_m, p1_tile_n,
                                      precision, n_ops=n_ops)
     fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
     cell = extract.cell
@@ -1164,12 +1222,13 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     width = solvable * max(nparts * cap_fast, cap_full)
     rounds = -(-kk // SEEDED_ROUND_K)
 
-    def one_round(search, r_ops, lo, b_i, needed):
-        _i1, cs1 = pass1(search, r_ops, lo, b_i)
+    def one_round(search, r_ops, lo, cs1, needed):
+        """cs1: (m, 128) per-lane minima of {score > lo} — round 1's
+        value-only pass, later rounds' fused remainder fold. Its
+        needed-th smallest upper-bounds the needed-th remaining score."""
         bound = jax.lax.sort(cs1, dimension=-1)[:, needed - 1:needed]
         bound = _inflate_bound(bound, lo)
-        moms = extract(search, r_ops, bound, lo)
-        cnt, suml, sumsq, sumcu = moms
+        cnt, suml, sumsq, sumcu, rem = extract(search, r_ops, bound, lo)
         qual = cnt > 0
         counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
         # OR-packed moment payloads for the Pallas positional compactor
@@ -1201,25 +1260,23 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
         cols_r, ok_r = jax.lax.cond(
             fast_fits, lambda _: tier(cap_fast, nparts), escalate, None)
         cert_r = (jnp.max(cnt) <= solvable) & ok_r
-        return cols_r, cert_r, counted, bound
+        return cols_r, cert_r, counted, bound, rem
 
     @jax.jit
     def run(search, r_ops, ref_aos):
         lo = jnp.full((m, 1), -jnp.inf, jnp.float32)
-        b_i_first = jnp.full((m, 1), -1, jnp.int32)
-        # Later rounds band STRICTLY above the previous bound: lex
-        # (score, idx) > (B, I32_MAX) <=> score > B, matching the
-        # extraction partition's half-open intervals.
-        b_i_strict = jnp.full((m, 1), _I32_MAX, jnp.int32)
+        # Round 1's bound source is the value-only pass; each extraction
+        # then hands the NEXT round its remainder minima — strictly-
+        # greater-than-bound band, matching the half-open partition.
+        cs1 = pass1(search, r_ops)
         cols_all = []
         cert = jnp.bool_(True)
         counted = jnp.zeros((m,), jnp.int32)
         remaining = kk
         for r in range(rounds):
             needed = min(SEEDED_ROUND_K, remaining)
-            cols_r, cert_r, counted_r, bound = one_round(
-                search, r_ops, lo,
-                b_i_first if r == 0 else b_i_strict, needed)
+            cols_r, cert_r, counted_r, bound, cs1 = one_round(
+                search, r_ops, lo, cs1, needed)
             cols_all.append(cols_r)
             cert &= cert_r
             counted += counted_r
@@ -1358,19 +1415,22 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # pick the widest 128 * 2^p tile dividing the operand width
         # (128 always does).
         tile_m = min(256, round_up(m, 8))
-        max_tile_n = 8192 if kk <= 16 else 4096
+        max_tile_n = (8192 if kk <= 16 else
+                      4096 if kk <= 32 else EXTRACT_TILE_N_CUBIC)
         tile_n = _extract_tile_n(n_ops, max_tile_n, k)
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
-        # Pass 1 (the bound): the banded candidates kernel with a -inf
-        # band is exactly the unbanded per-lane top-1 fold, and already
-        # speaks the n_ops prepadded-operand protocol.
+        # Pass 1 (the bound): the VALUE-ONLY per-lane minima fold — the
+        # K-th smallest lane minimum is all the bound needs, so the
+        # banded kernel's index fold (lane iota + second select per
+        # chunk) was dead weight (scripts/r15_profile_seeded.py);
+        # same score arithmetic and prepadded-operand protocol.
         p1_tile_m, p1_tile_n = pick_tiles(k, m, n,
                                           wide=precision == "packed")
         p1_tile_n = min(p1_tile_n, n_ops)
         while n_ops % p1_tile_n != 0:
             p1_tile_n -= 128
-        pass1 = _build_banded_candidates(m, n, k, p1_tile_m, p1_tile_n,
+        pass1 = _build_minima_candidates(m, n, k, p1_tile_m, p1_tile_n,
                                          precision, n_ops=n_ops)
         # The certified fallback: exact for ANY qualifier distribution.
         fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
@@ -1408,9 +1468,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
         @jax.jit
         def run(search, r_ops, ref_aos):
-            no_band_s = jnp.full((m, 1), -jnp.inf, jnp.float32)
-            no_band_i = jnp.full((m, 1), -1, jnp.int32)
-            _i1, cs1 = pass1(search, r_ops, no_band_s, no_band_i)
+            cs1 = pass1(search, r_ops)
             # B = K-th smallest of the 128 per-lane minima: at least K
             # distinct elements score <= B, so the global K-th score is
             # <= B. Inflation + NaN handling: _inflate_bound.
