@@ -1101,6 +1101,32 @@ def _compact_and_solve(m: int, nc: int, parts: int, cap: int, fields,
     return cols, valid, rec_ok
 
 
+#: Candidate columns are dense-compacted to this width before the exact
+#: (d2, index) rerank whenever the recovery width exceeds it: the sort
+#: is the rerank's dominant cost and scales with width, while the
+#: recovery width carries >= 4x slack (each compacted cell expands to
+#: `solvable` slots regardless of its actual count). 224 covers the
+#: K=64 band's qualifier census (~110/row mean; a row would need +10
+#: sigma to overflow) and any overflow joins the engines' certificates
+#: (fallback, never a dropped candidate).
+RERANK_COMPACT_CAP = 224
+
+
+def _compact_cols(cols, n: int, cap: int = RERANK_COMPACT_CAP):
+    """Dense-compact the valid candidate columns (< n) of each row into
+    ``cap`` slots (order preserved; n sentinels beyond). Returns
+    (narrow (m, cap) cols, ok: every row's candidates fit). Reuses the
+    Pallas positional compactor — candidates ride as col+1 so slot
+    validity stays field-0 != 0."""
+    m, w = cols.shape
+    cap = min(cap, w)
+    comp = _build_cell_compactor(m, w, 1, cap, 1,
+                                 tile_m=min(128, round_up(m, 8)))
+    _pos, vals = comp(jnp.where(cols < n, cols + 1, 0))
+    ok = jnp.all(jnp.sum(cols < n, axis=1) <= cap)
+    return jnp.where(vals != 0, vals - 1, n), ok
+
+
 def _exact_rerank(search, ref_aos, cols, kk: int, n: int):
     """Gather candidate reference rows, compute EXACT diff-form d2, and
     lex-sort (d2, index) -> ((m, kk) idx with -1 sentinels, (m, kk) d2).
@@ -1216,10 +1242,14 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     pw = nc // nparts
     cap_fast = min(48, pw)
     # Unified per-round candidate width: the fast tier compacts
-    # nparts * cap_fast cells, the escalation tier cap_full; both pad
-    # their recovered columns so the per-round lax.cond has one output
-    # shape and the final rerank width is capacity-independent.
-    width = solvable * max(nparts * cap_fast, cap_full)
+    # nparts * cap_fast cells, the escalation tier cap_full; both
+    # dense-compact their recovered columns to the rerank cap (the
+    # recovery width carries ~4x slack — see RERANK_COMPACT_CAP) so the
+    # per-round lax.cond has one output shape AND the final rerank over
+    # the concatenated rounds sorts rounds x 224 columns, not
+    # rounds x 576.
+    width = min(solvable * max(nparts * cap_fast, cap_full),
+                RERANK_COMPACT_CAP)
     rounds = -(-kk // SEEDED_ROUND_K)
 
     def one_round(search, r_ops, lo, cs1, needed):
@@ -1245,6 +1275,9 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
             cols, _valid, rec_ok = _compact_and_solve(
                 m, nc, parts_i, cap_i, fields, cell=cell, n=n,
                 solvable=solvable)
+            if cols.shape[1] > width:
+                cols, okc = _compact_cols(cols, n, width)
+                rec_ok = rec_ok & okc
             return pad_cols(cols), rec_ok
 
         def escalate(_):
@@ -1507,6 +1540,12 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 cols, _valid, rec_ok = _compact_and_solve(
                     m, nc, parts_i, cap_i, fields, cell=cell, n=n,
                     solvable=solvable)
+                if cols.shape[1] > 256:
+                    # K > 32 recovery widths (576 fast / 432 escalated)
+                    # carry ~4x slack; dense-compact before the sort-
+                    # dominated rerank (overflow joins the certificate).
+                    cols, okc = _compact_cols(cols, n)
+                    rec_ok = rec_ok & okc
                 idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
                 return idx_k, d2_k, rec_ok
 
