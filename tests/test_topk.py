@@ -526,7 +526,8 @@ def test_cell_compactor_positional_differential():
             (16, 512, 1, 8, 1, 0.02),
             (16, 512, 1, 8, 2, 0.08),       # overflow rows
             (12, 1024, 4, 8, 2, 0.02),      # parts, ragged m
-            (8, 8192, 1, 48, 2, 0.004),     # w_tiles > 1
+            (8, 8192, 1, 48, 2, 0.004),     # widest butterfly part
+            (4, 16384, 1, 16, 2, 0.001),    # w_tiles > 1: slot loop
             (16, 512, 1, 8, 2, 0.0)]:       # all-empty
         qual = rng.random((m, nc)) < dens
         fields = [
@@ -757,3 +758,46 @@ def test_within_radius_accepts_sequences():
     assert int(np.asarray(cnt)[0]) == 1
     idx2, _, cnt2 = within_radius_complete(np.asarray(q, np.float32), r, 5.0)
     assert np.all(np.asarray(cnt2) == 3)
+
+
+def test_compact_and_solve_p3_gather_cubic():
+    """The cubic geometries gather p3 at the recovered cell indices
+    instead of carrying it through the compactor's slot loop
+    (scripts/r17_compact_iso.py: the loop costs cap*nc VPU ops PER
+    field). Differential: compacted cubic recovery over scattered
+    3-lane cells must reproduce every planted lane exactly."""
+    import jax.numpy as jnp
+
+    from tpu_knn.kernels.topk import _compact_and_solve
+
+    rng = np.random.default_rng(93)
+    m, nc, cell = 8, 1024, 128
+    n = nc * cell
+    qual = np.zeros((m, nc), bool)
+    lanes_per_cell = {}
+    for r in range(m):
+        for c in rng.choice(nc, 30, replace=False):
+            qual[r, c] = True
+            ls = sorted(rng.choice(cell, rng.integers(1, 4),
+                                   replace=False).tolist())
+            lanes_per_cell[(r, c)] = ls
+    cnt = np.zeros((m, nc), np.int64)
+    e1 = np.zeros((m, nc), np.int64)
+    p2 = np.zeros((m, nc), np.int64)
+    p3 = np.zeros((m, nc), np.int64)
+    for (r, c), ls in lanes_per_cell.items():
+        cnt[r, c] = len(ls)
+        e1[r, c] = sum(ls)
+        p2[r, c] = sum(l * l for l in ls)
+        p3[r, c] = sum(l ** 3 for l in ls)
+    a = (np.minimum(cnt, 3) | (e1 << 2) | (p2 << 12)).astype(np.int32)
+    fields = (jnp.asarray(a), jnp.asarray(p3.astype(np.int32)))
+    cols, _valid, ok = _compact_and_solve(
+        m, nc, 4, 48, fields, cell=cell, n=n, solvable=3)
+    assert bool(ok)
+    for r in range(m):
+        got = sorted(int(c) for c in np.asarray(cols)[r] if c < n)
+        want = sorted(c * cell + l
+                      for (rr, c), ls in lanes_per_cell.items()
+                      if rr == r for l in ls)
+        assert got == want

@@ -115,6 +115,14 @@ SEEDED_MAX_NEIGHBORS = PASSES_MAX_NEIGHBORS
 #: work (tile sweep: scripts/r15_profile_seeded.py).
 EXTRACT_TILE_N_CUBIC = 2048
 
+#: Extraction tile maxima for the 4-field 256-lane-cell (K <= 16) and
+#: 8-field 256-lane-cell (16 < K <= 32) modes, and the extraction
+#: tile_m. Sweepable module constants (probes retune them; the engine
+#: builder reads them at build time).
+EXTRACT_TILE_N_QUAD = 8192
+EXTRACT_TILE_N_OCT = 4096
+EXTRACT_TILE_M = 256
+
 #: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
 #: insertion fold costs ~K compare-exchanges per score element over
 #: tile_m rows — it wins only the small-batch regime (m=8/K=8: 0.354 ms
@@ -782,6 +790,61 @@ def _cell_compact_kernel(u_ref, *refs, cap: int, cw: int, w_tiles: int,
             o[:] = a[:]
 
 
+def _cell_butterfly_kernel(u_ref, *refs, cw: int, nf: int, out_w: int,
+                           tile_m: int):
+    """Butterfly-concentrator cell compaction — the slot loop replaced
+    by LSB-first log-step routing when each part fits one width-chunk.
+
+    The slot loop costs cap * pw VPU passes per part PER FIELD (linear
+    in cap — 48/24/12 -> 2.44/1.31/0.75 ms at the K=64 geometry,
+    scripts/r17_compact_iso.py); concentration routing needs only
+    ceil(log2(cw)) steps: each qualifier's destination is its prefix
+    rank, its remaining distance d = lane - rank decomposes in binary,
+    and moving every element with bit j set LEFT by 2^j (j ascending)
+    is collision-free — the classic concentrator-network result,
+    re-verified over 3000 random masks (scripts/r18 dev notes). Rolls
+    wrap, but a wrapped move flag at lane l >= cw - 2^j would need a
+    mover at lane < 2^j with d >= 2^j > lane — impossible since
+    d <= lane. Output contract identical to _cell_compact_kernel:
+    ranks 0..out_w-1 land in ascending cell order, zeros beyond the
+    qualifier count; ranks past out_w fall off the stored block and the
+    callers' cap certificates cover them.
+    """
+    f_refs = refs[:nf]
+    out_refs = refs[nf:2 * nf + 1]
+    a0 = f_refs[0][:]
+    qual = a0 != 0
+    qf = jnp.where(qual, 1.0, 0.0).astype(jnp.bfloat16)
+    base = jnp.zeros((tile_m, 1), jnp.float32)
+    chunks = []
+    for c in range(cw // 128):
+        pc = jax.lax.dot_general(
+            qf[:, c * 128:(c + 1) * 128], u_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        chunks.append(pc + base)
+        base = base + pc[:, 127:128]
+    pm1 = jnp.concatenate(chunks, axis=1).astype(jnp.int32) - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_m, cw), 1)
+    d = jnp.where(qual, lane - pm1, -1)
+    fields = [lane] + [r[:] for r in f_refs]
+    for j in range((cw - 1).bit_length()):
+        bit = 1 << j
+        # Derive the incoming-mover flag from the ROLLED distance array
+        # (int32 rolls only; Mosaic bool rolls are not relied on).
+        d_s = pltpu.roll(d, cw - bit, 1)
+        mv_s = (d_s >= 0) & ((d_s & bit) != 0)
+        stay = (d >= 0) & ((d & bit) == 0)
+        d = jnp.where(mv_s, d_s - bit, jnp.where(stay, d, -1))
+        fields = [
+            jnp.where(mv_s, pltpu.roll(f, cw - bit, 1),
+                      jnp.where(stay, f, 0))
+            for f in fields
+        ]
+    for o, f in zip(out_refs, fields):
+        o[:] = f[:, :out_w]
+
+
 @functools.lru_cache(maxsize=None)
 def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
                           tile_m: int = 128, max_cw: int = 2048):
@@ -805,10 +868,22 @@ def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
         raise ValueError(f"parts={parts} needs 128-divisible part width,"
                          f" got {pw}")
     pw_pad = round_up(pw, 128)
-    cw = min(pw_pad, max_cw)
-    while pw_pad % cw != 0 or cw % 128 != 0:
-        cw -= 128
-    w_tiles = pw_pad // cw
+    if pw_pad <= 8192:
+        # Whole part in one width-chunk: butterfly concentration
+        # (log-step routing, cap-independent — _cell_butterfly_kernel).
+        # Wide parts shrink tile_m instead of chunking: the routing
+        # needs the full part width resident, and (tile_m, cw) i32
+        # temporaries (~nf + 4 live) must fit scoped VMEM.
+        cw = pw_pad
+        tile_m = min(tile_m,
+                     128 if cw <= 2048 else 64 if cw <= 4096 else 32)
+        tile_m = max(8, tile_m)
+        w_tiles = 1
+    else:
+        cw = min(pw_pad, max_cw)
+        while pw_pad % cw != 0 or cw % 128 != 0:
+            cw -= 128
+        w_tiles = pw_pad // cw
     out_w = 128 if cap <= 128 else 256
     m_pad = round_up(m, tile_m)
     u = np.triu(np.ones((128, 128), np.float32)).astype(jnp.bfloat16)
@@ -817,10 +892,22 @@ def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_m, out_w), lambda i, p, w: (i, p),
                             memory_space=pltpu.VMEM)
+    if w_tiles == 1:
+        kernel = functools.partial(_cell_butterfly_kernel, cw=cw, nf=nf,
+                                   out_w=out_w, tile_m=tile_m)
+        scratch = []
+        flops = (2 * m_pad * nc * 128
+                 + m_pad * nc * (cw - 1).bit_length() * (nf + 2))
+    else:
+        kernel = functools.partial(_cell_compact_kernel, cap=cap, cw=cw,
+                                   w_tiles=w_tiles, nf=nf, out_w=out_w,
+                                   tile_m=tile_m)
+        scratch = ([pltpu.VMEM((tile_m, 1), jnp.float32)]
+                   + [pltpu.VMEM((tile_m, out_w), jnp.int32)
+                      for _ in range(nf + 1)])
+        flops = 2 * m_pad * nc * 128 + m_pad * nc * cap * (nf + 1)
     call = pl.pallas_call(
-        functools.partial(_cell_compact_kernel, cap=cap, cw=cw,
-                          w_tiles=w_tiles, nf=nf, out_w=out_w,
-                          tile_m=tile_m),
+        kernel,
         grid=(m_pad // tile_m, parts, w_tiles),
         in_specs=[pl.BlockSpec((128, 128), lambda i, p, w: (0, 0),
                                memory_space=pltpu.VMEM)]
@@ -828,11 +915,9 @@ def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
         out_specs=[out_spec] * (nf + 1),
         out_shape=[jax.ShapeDtypeStruct((m_pad, parts * out_w), jnp.int32)
                    for _ in range(nf + 1)],
-        scratch_shapes=[pltpu.VMEM((tile_m, 1), jnp.float32)]
-        + [pltpu.VMEM((tile_m, out_w), jnp.int32)
-           for _ in range(nf + 1)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * nc * 128 + m_pad * nc * cap * (nf + 1),
+            flops=flops,
             bytes_accessed=(m_pad * nc * nf * 4
                             + m_pad * parts * out_w * (nf + 1) * 4),
             transcendentals=0,
@@ -1077,7 +1162,17 @@ def _compact_and_solve(m: int, nc: int, parts: int, cap: int, fields,
     Returns (cols (m, solvable * parts * cap_e) global candidate columns
     with ``n`` sentinels, valid mask, recovery-exactness certificate).
     Shared by the single-round and multi-round seeded engines' fast and
-    escalation tiers."""
+    escalation tiers.
+
+    Measured negatives at the K=64 geometry (m=1024, nc=8192): a
+    two-stage fine-split + sort-merge compaction (parts > 4 pay grid
+    overhead: 32x16+merge 6.77 ms vs 4x48 2.85 —
+    scripts/r17_compact_variants.py) and a post-compaction lane-axis
+    take_along_axis gather of p3 (the CLAUDE.md lane trap: end-to-end
+    K=64 12.8 -> 18.8 ms) both LOST to simply carrying p3 as a second
+    slot-loop field, even though the loop costs cap * nc VPU ops per
+    field (cap-linear: 48/24/12 -> 2.44/1.31/0.75 ms,
+    scripts/r17_compact_iso.py)."""
     pw = nc // parts
     cap_e = min(cap, pw)
     comp = _build_cell_compactor(m, nc, parts, cap_e, len(fields),
@@ -1447,9 +1542,10 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # count whose moment columns divide or are divisible by 128;
         # pick the widest 128 * 2^p tile dividing the operand width
         # (128 always does).
-        tile_m = min(256, round_up(m, 8))
-        max_tile_n = (8192 if kk <= 16 else
-                      4096 if kk <= 32 else EXTRACT_TILE_N_CUBIC)
+        tile_m = min(EXTRACT_TILE_M, round_up(m, 8))
+        max_tile_n = (EXTRACT_TILE_N_QUAD if kk <= 16 else
+                      EXTRACT_TILE_N_OCT if kk <= 32 else
+                      EXTRACT_TILE_N_CUBIC)
         tile_n = _extract_tile_n(n_ops, max_tile_n, k)
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
