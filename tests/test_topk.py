@@ -591,6 +591,14 @@ def test_extraction_masks_whole_padding_tiles():
                     jnp.full((m, 1), 5.0, jnp.float32))
     cnt = np.asarray(cnt)
     assert int((cnt[:, -(-n // mom.cell):] > 0).sum()) == 0
+    # the cubic (K > 32) mode packs in-kernel: phantom cells must not
+    # qualify there either
+    momc = _build_extract_candidates(m, n, k, 8, 512, "packed",
+                                     n_ops=1536, kk=64)
+    apc, _p3 = momc(jnp.asarray(q), (r_op,),
+                    jnp.full((m, 1), 5.0, jnp.float32))
+    apc = np.asarray(apc)
+    assert int((apc[:, -(-n // momc.cell):] != 0).sum()) == 0
     # end-to-end through the engine on the same operand width
     run = _build_topk(m, n, k, 4, 1536, "packed", "seeded")
     si, sd = run(jnp.asarray(q), (r_op,), jnp.asarray(r))
@@ -616,19 +624,20 @@ def test_moment_weights_exact_and_cell_policy():
         assert w.max() <= 255 and np.all(w == np.round(w))
         rng = np.random.default_rng(31)
         mask = (rng.random((4, tile_n)) < 0.1).astype(np.float64)
-        mo = (mask @ w).reshape(4, tile_n // cell, nf)
+        # field-major layout: field f spans columns [f*cpt, (f+1)*cpt)
+        cpt = tile_n // cell
+        mo = (mask @ w).reshape(4, nf, cpt)
         l = np.arange(tile_n) % cell
-        lc = l.reshape(tile_n // cell, cell)
-        mk3 = mask.reshape(4, tile_n // cell, cell)
-        np.testing.assert_array_equal(mo[:, :, 0], mk3.sum(-1))
-        np.testing.assert_array_equal(mo[:, :, 1], (mk3 * lc).sum(-1))
-        sumsq = 256.0 * mo[:, :, 2] + mo[:, :, 3]
+        lc = l.reshape(cpt, cell)
+        mk3 = mask.reshape(4, cpt, cell)
+        np.testing.assert_array_equal(mo[:, 0], mk3.sum(-1))
+        np.testing.assert_array_equal(mo[:, 1], (mk3 * lc).sum(-1))
+        sumsq = 256.0 * mo[:, 2] + mo[:, 3]
         np.testing.assert_array_equal(sumsq, (mk3 * lc * lc).sum(-1))
         if nf == _EXTRACT_FIELDS_CUBIC:
-            sumcu = (65536.0 * mo[:, :, 4] + 256.0 * mo[:, :, 5]
-                     + mo[:, :, 6])
+            sumcu = (65536.0 * mo[:, 4] + 256.0 * mo[:, 5] + mo[:, 6])
             np.testing.assert_array_equal(sumcu, (mk3 * lc ** 3).sum(-1))
-            np.testing.assert_array_equal(mo[:, :, 7], 0.0)
+            np.testing.assert_array_equal(mo[:, 7], 0.0)
     assert _extract_mode(8192, 8) == (256, _EXTRACT_FIELDS)
     assert _extract_mode(8192, 16) == (256, _EXTRACT_FIELDS)
     assert _extract_mode(8192, 32) == (256, _EXTRACT_FIELDS_CUBIC)

@@ -436,7 +436,11 @@ def _moment_weights(tile_n: int, cell: int,
     """Block-diagonal (tile_n, n_fields * tile_n // cell) bf16 weight
     matrix: input lane r belongs to cell r // cell with in-cell id
     l = r % cell; its nonzero entries are the n_fields weights at
-    columns (r // cell) * n_fields + field."""
+    columns field * (tile_n // cell) + r // cell — FIELD-MAJOR so the
+    kernel can slice each field's cell group contiguously and pack the
+    digits in-kernel (the interleaved layout forced a 2x-wider f32
+    output plus strided XLA unpack/repack passes over ~270 MB at the
+    K=64 ds11 geometry)."""
     l = np.arange(tile_n, dtype=np.int64)
     c = l // cell
     li = l % cell
@@ -456,9 +460,10 @@ def _moment_weights(tile_n: int, cell: int,
     elif n_fields != _EXTRACT_FIELDS:
         raise ValueError(f"unsupported field count {n_fields}")
     fields = np.stack(cols, axis=1).astype(np.float32)
-    w = np.zeros((tile_n, n_fields * (tile_n // cell)), np.float32)
+    cpt = tile_n // cell
+    w = np.zeros((tile_n, n_fields * cpt), np.float32)
     for f in range(n_fields):
-        w[l, c * n_fields + f] = fields[:, f]
+        w[l, f * cpt + c] = fields[:, f]
     return w.astype(jnp.bfloat16)
 
 
@@ -499,12 +504,12 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
     — half a 128-deep score pass of extra MXU work — and the VPU hot
     loop drops to compare + select.
     """
-    if banded and emit_rem:
-        lo_ref, w_ref, out_ref, rem_ref = rest
-    elif banded:
-        lo_ref, w_ref, out_ref = rest
-    else:
-        w_ref, out_ref = rest
+    lo_ref = rest[0] if banded else None
+    rest = rest[1:] if banded else rest
+    w_ref = rest[0]
+    n_pack = 1 if n_fields == _EXTRACT_FIELDS else 2
+    pack_refs = rest[1:1 + n_pack]
+    rem_ref = rest[1 + n_pack] if emit_rem else None
     j = pl.program_id(1)
     s = _score_tile(q_ref[:], r_ref[:], soa=True, precision=precision)
     # Mask whenever the OPERAND is wider than n — not just when n is
@@ -555,28 +560,81 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
     mo = jax.lax.dot_general(
         mask, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # (tile_m, cols)
-    cols = n_fields * (tile_n // cell)
-    if cols % 128 == 0:
-        # One or more whole 128-lane output groups per tile: direct store.
-        out_ref[:] = mo
+    # In-kernel digit combine + OR-pack (field-major weight layout):
+    # emit the (tile_m, cpt) int32 payloads the compactor consumes
+    # directly — A = min(cnt,3) | e1<<2 | p2<<12 | (cnt>solvable)<<30
+    # and, for the cubic mode, p3 — instead of the raw 4/8-field f32
+    # digits (2-4x the HBM writes plus strided XLA unpack and a_pack
+    # passes over the full (m, nc) arrays). Every digit accumulator is
+    # f32-exact (< 2^24); an ILLEGAL (cnt > solvable) cell may wrap its
+    # packed high bits, so the pack is masked to 30 bits and bit 30
+    # carries the overflow certificate exactly (low 2 bits stay
+    # min(cnt,3) != 0 at every qualifier — the validity contract).
+    cpt = tile_n // cell
+    if n_fields == _EXTRACT_FIELDS:
+        # Quadratic mode: the raw 4-field f32 output keeps the DIRECT
+        # 128-lane store at the production tile (cols = 4 * 32 = 128 at
+        # (256, 8192)); in-kernel packing forced the g-grouped
+        # accumulate path there and MEASURED WORSE end to end (K=16
+        # 6.14 -> 8.07 ms) — the shared output block serializes the
+        # revisiting grid steps. The cubic mode (below) packs in-kernel
+        # and measured BETTER (K=64 10.03 -> 9.10).
+        cols = n_fields * cpt
+        out_ref = pack_refs[0]
+        if cols % 128 == 0:
+            out_ref[:] = mo
+            return
+        g = 128 // cols
+        mop = pltpu.roll(jnp.pad(mo, ((0, 0), (0, 128 - cols))),
+                         (j % g) * cols, 1)
+
+        @pl.when(j % g == 0)
+        def _():
+            out_ref[:] = mop
+
+        @pl.when(j % g != 0)
+        def _():
+            out_ref[:] = out_ref[:] + mop
+        return
+    solvable = 3
+    cnt_i = mo[:, 0 * cpt:1 * cpt].astype(jnp.int32)
+    e1_i = mo[:, 1 * cpt:2 * cpt].astype(jnp.int32)
+    p2_i = (mo[:, 2 * cpt:3 * cpt] * 256.0
+            + mo[:, 3 * cpt:4 * cpt]).astype(jnp.int32)
+    packed = (jnp.minimum(cnt_i, 3) | (e1_i << 2) | (p2_i << 12))
+    flag = jnp.where(cnt_i > solvable, jnp.int32(1), jnp.int32(0))
+    ap = (packed & jnp.int32(0x3FFFFFFF)) | (flag << 30)
+    # sum(l^3) reaches ~5e7 > 2^24: combine the exact f32 digit
+    # sums in int32 (a float combine would round by up to 2 ulp
+    # and silently corrupt Newton's identities).
+    p3 = (65536 * mo[:, 4 * cpt:5 * cpt].astype(jnp.int32)
+          + 256 * mo[:, 5 * cpt:6 * cpt].astype(jnp.int32)
+          + mo[:, 6 * cpt:7 * cpt].astype(jnp.int32))
+    outs = [ap, p3]
+    if cpt % 128 == 0:
+        # One or more whole 128-lane output groups per tile: direct
+        # store.
+        for o_ref, o in zip(pack_refs, outs):
+            o_ref[:] = o
         return
     # Narrow tiles: (tile_m, 128) output blocks are shared by g = 128 //
-    # cols consecutive n-tiles (Mosaic requires 128-divisible output
+    # cpt consecutive n-tiles (Mosaic requires 128-divisible output
     # lanes, and dynamic lane-offset stores must be 128-aligned). Each
     # invocation zero-pads its columns to the block width, lane-rolls
     # them into position, and accumulates; the block flushes to HBM when
     # j // g advances.
-    g = 128 // cols
-    mop = pltpu.roll(jnp.pad(mo, ((0, 0), (0, 128 - cols))),
-                     (j % g) * cols, 1)
+    g = 128 // cpt
+    for o_ref, o in zip(pack_refs, outs):
+        op = pltpu.roll(jnp.pad(o, ((0, 0), (0, 128 - cpt))),
+                        (j % g) * cpt, 1)
 
-    @pl.when(j % g == 0)
-    def _():
-        out_ref[:] = mop
+        @pl.when(j % g == 0)
+        def _(o_ref=o_ref, op=op):
+            o_ref[:] = op
 
-    @pl.when(j % g != 0)
-    def _():
-        out_ref[:] = out_ref[:] + mop
+        @pl.when(j % g != 0)
+        def _(o_ref=o_ref, op=op):
+            o_ref[:] = o_ref[:] + op
 
 
 @functools.lru_cache(maxsize=None)
@@ -585,9 +643,9 @@ def _build_extract_candidates(m: int, n: int, k: int,
                               n_ops: int | None = None, kk: int = 16,
                               banded: bool = False,
                               emit_rem: bool = False):
-    """(search (m,k), SoA ref ops, bound (m,1)[, lo (m,1)]) -> (cnt i32,
-    suml f32, sumsq f32) moment arrays of shape (m, n_ops // cell) — see
-    _extract_moment_kernel. The cell lane width is exposed as the
+    """(search (m,k), SoA ref ops, bound (m,1)[, lo (m,1)]) -> packed
+    int32 moment arrays (A[, p3]) of shape (m, n_ops // cell) — see
+    _extract_moment_kernel and the ``moments`` docstring below. The cell lane width is exposed as the
     returned callable's `.cell`. With ``banded=True`` the callable takes
     a fourth argument lo (m, 1) and counts the half-open score band
     (lo, bound] — the multi-round engine's per-round partition. With
@@ -607,19 +665,26 @@ def _build_extract_candidates(m: int, n: int, k: int,
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
     cell, n_fields = _extract_mode(tile_n, kk)
-    cols = n_fields * (tile_n // cell)
-    if cols % 128 != 0 and 128 % cols != 0:
-        raise ValueError(f"tile_n={tile_n} gives {cols} moment columns; "
-                         "must divide or be divisible by 128")
+    cpt = tile_n // cell
+    cols = n_fields * cpt
+    #: cubic mode packs in-kernel (n_pack int32 outputs, cpt columns per
+    #: tile); quadratic keeps the raw f32 digit output (cols columns per
+    #: tile) — see _extract_moment_kernel.
+    packed_out = n_fields == _EXTRACT_FIELDS_CUBIC
+    ow = cpt if packed_out else cols
+    if ow % 128 != 0 and 128 % ow != 0:
+        raise ValueError(f"tile_n={tile_n} gives {ow} output columns per"
+                         " tile; must divide or be divisible by 128")
     nc = n_pad // cell
+    n_pack = 2 if packed_out else 1
     w = np.asarray(_moment_weights(tile_n, cell, n_fields))
-    if cols % 128 == 0:
-        out_w = n_tiles * cols
-        out_spec = pl.BlockSpec((tile_m, cols), lambda i, j: (i, j),
+    if ow % 128 == 0:
+        out_w = n_tiles * ow
+        out_spec = pl.BlockSpec((tile_m, ow), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
     else:
-        g = 128 // cols
-        #: columns beyond n_tiles * cols (the ragged tail of the last
+        g = 128 // ow
+        #: columns beyond n_tiles * ow (the ragged tail of the last
         #: output block) are never written — masked below.
         out_w = -(-n_tiles // g) * 128
         out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
@@ -644,14 +709,16 @@ def _build_extract_candidates(m: int, n: int, k: int,
             pl.BlockSpec(w.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] + ([rem_spec] if emit_rem else []),
-        out_shape=[jax.ShapeDtypeStruct((m_pad, out_w), jnp.float32)]
+        out_specs=[out_spec] * n_pack + ([rem_spec] if emit_rem else []),
+        out_shape=[jax.ShapeDtypeStruct(
+            (m_pad, out_w), jnp.int32 if packed_out else jnp.float32)
+            for _ in range(n_pack)]
         + ([jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)]
            if emit_rem else []),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * (k_pad + cols),
             bytes_accessed=(m_pad * k_pad * 4 + n_pad * k_pad * 4
-                            + m_pad * nc * n_fields * 4),
+                            + m_pad * nc * n_pack * 4),
             transcendentals=0,
         ),
         interpret=interpret_mode(),
@@ -663,7 +730,13 @@ def _build_extract_candidates(m: int, n: int, k: int,
     def moments(search, ref_ops, bound_s, lo_s=None):
         """bound_s (m, 1) f32; rows beyond m get -inf (no qualifiers).
         lo_s (m, 1) f32, required iff built with banded=True: the
-        round's exclusive lower score band."""
+        round's exclusive lower score band.
+
+        Returns packed int32 moment arrays of shape (m, nc):
+        (A[, p3][, rem]) with A = min(cnt,3) | e1<<2 | p2<<12 |
+        (cnt > solvable)<<30 — the compactor's field layout, packed
+        in-kernel (A != 0 iff the cell qualifies; bit 30 is the
+        overflow certificate)."""
         if (lo_s is None) == banded:
             raise ValueError("lo_s must be passed iff banded=True")
         (r_op,) = ref_ops
@@ -673,32 +746,26 @@ def _build_extract_candidates(m: int, n: int, k: int,
         q = jnp.pad(search, ((0, m_pad - m), (0, k_pad - k)))
         bs = jnp.pad(bound_s, ((0, m_pad - m), (0, 0)),
                      constant_values=-jnp.inf)
-        rem = None
+        args = (q, r_op, bs)
         if banded:
             lo = jnp.pad(lo_s, ((0, m_pad - m), (0, 0)),
                          constant_values=jnp.inf)
-            if emit_rem:
-                mo, rem = call(q, r_op, bs, lo, jnp.asarray(w))
-                rem = rem[:m]
-            else:
-                (mo,) = call(q, r_op, bs, lo, jnp.asarray(w))
+            args = args + (lo,)
+        outs = call(*args, jnp.asarray(w))
+        if packed_out:
+            # Drop the never-written ragged tail columns.
+            packs = tuple(o[:m, :nc] for o in outs[:n_pack])
         else:
-            (mo,) = call(q, r_op, bs, jnp.asarray(w))
-        # Drop the never-written ragged tail columns, split the fields.
-        x = mo[:m, :nc * n_fields].reshape(m, nc, n_fields)
-        cnt = x[:, :, 0].astype(jnp.int32)
-        suml = x[:, :, 1]
-        sumsq = 256.0 * x[:, :, 2] + x[:, :, 3]
-        if n_fields == _EXTRACT_FIELDS:
-            return (cnt, suml, sumsq) + ((rem,) if emit_rem else ())
-        # Combine the sum(l^3) digits in int32: each f32 digit
-        # accumulator is exact (< 2^24), but p3 reaches ~5e7 > 2^24, so
-        # a float combination would round by up to 2 ulp and silently
-        # corrupt Newton's identities.
-        sumcu = (65536 * x[:, :, 4].astype(jnp.int32)
-                 + 256 * x[:, :, 5].astype(jnp.int32)
-                 + x[:, :, 6].astype(jnp.int32))
-        return (cnt, suml, sumsq, sumcu) + ((rem,) if emit_rem else ())
+            # Field-major raw digits: (m, n_tiles, nf, cpt) view.
+            x = outs[0][:m, :n_tiles * cols].reshape(
+                m, n_tiles, n_fields, cpt)
+            cnt = x[:, :, 0, :].reshape(m, nc).astype(jnp.int32)
+            suml = x[:, :, 1, :].reshape(m, nc)
+            sumsq = (256.0 * x[:, :, 2, :] + x[:, :, 3, :]).reshape(m, nc)
+            packs = (cnt, suml, sumsq)
+        if emit_rem:
+            return packs + (outs[n_pack][:m],)
+        return packs
 
     moments.prep_soa = prep_soa
     moments.cell = cell
@@ -1353,14 +1420,12 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
         needed-th smallest upper-bounds the needed-th remaining score."""
         bound = jax.lax.sort(cs1, dimension=-1)[:, needed - 1:needed]
         bound = _inflate_bound(bound, lo)
-        cnt, suml, sumsq, sumcu, rem = extract(search, r_ops, bound, lo)
-        qual = cnt > 0
-        counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
-        # OR-packed moment payloads for the Pallas positional compactor
-        # (_compact_and_solve) — same layout as the single-round engine.
-        a_pack = (jnp.minimum(cnt, 3) | (suml.astype(jnp.int32) << 2)
-                  | (sumsq.astype(jnp.int32) << 12))
-        fields = (a_pack, sumcu)
+        a_pack, p3, rem = extract(search, r_ops, bound, lo)
+        qual = a_pack != 0
+        counted = jnp.sum(jnp.minimum(a_pack & 3, solvable), axis=1)
+        # The extraction emits the compactor's OR-packed payloads
+        # directly (in-kernel digit combine; bit 30 = cnt overflow).
+        fields = (a_pack, p3)
 
         def pad_cols(cols):
             return jnp.pad(cols, ((0, 0), (0, width - cols.shape[1])),
@@ -1387,7 +1452,7 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
             fast_fits = jnp.all(jnp.sum(qual, axis=1) <= cap_fast)
         cols_r, ok_r = jax.lax.cond(
             fast_fits, lambda _: tier(cap_fast, nparts), escalate, None)
-        cert_r = (jnp.max(cnt) <= solvable) & ok_r
+        cert_r = (jnp.max(a_pack) < (1 << 30)) & ok_r
         return cols_r, cert_r, counted, bound, rem
 
     @jax.jit
@@ -1604,8 +1669,21 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
             bound = _inflate_bound(bound)
             moms = extract(search, r_ops, bound)           # (m, nc) each
-            cnt = moms[0]
-            qual = cnt > 0
+            if solvable == 3:
+                # Cubic mode: the kernel emits the packed payloads
+                # (bit 30 = cnt-overflow certificate) + p3.
+                a_pack, p3m = moms
+                cnt_ok = jnp.max(a_pack) < (1 << 30)
+                counted = jnp.sum(jnp.minimum(a_pack & 3, solvable),
+                                  axis=1)
+            else:
+                cnt, suml, sumsq = moms
+                a_pack = (jnp.minimum(cnt, 3)
+                          | (suml.astype(jnp.int32) << 2)
+                          | (sumsq.astype(jnp.int32) << 12))
+                cnt_ok = jnp.max(cnt) <= solvable
+                counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
+            qual = a_pack != 0
             # Compact the qualifying cells (escalating capacity; see the
             # cap comment above) with the Pallas positional compactor
             # (_cell_compact_kernel). The moment payloads ride along as
@@ -1622,10 +1700,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             # compactor runs the same geometries at 2.4/1.2/0.7 ms vs
             # 6.6/~5/~3 (r7_probe_compact{,2}.py).
             qual_rows = jnp.sum(qual, axis=1)
-            a_pack = (jnp.minimum(cnt, 3)
-                      | (moms[1].astype(jnp.int32) << 2)
-                      | (moms[2].astype(jnp.int32) << 12))
-            fields = (a_pack,) if solvable == 2 else (a_pack, moms[3])
+            fields = (a_pack,) if solvable == 2 else (a_pack, p3m)
             def recover(cap_i, parts_i):
                 """Compaction + lane recovery + exact rerank at capacity
                 ``cap_i`` per part over ``parts_i`` cell-axis parts.
@@ -1656,9 +1731,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             # escalates INSIDE the cond chain to a full-capacity
             # recovery, and only overflow past cap_full (or a root-solver
             # overflow) reaches the passes fallback.
-            cert_common = ((jnp.max(cnt) <= solvable)
-                           & jnp.all(jnp.sum(jnp.minimum(cnt, solvable),
-                                             axis=1) >= kk))
+            cert_common = cnt_ok & jnp.all(counted >= kk)
             idx_f, d2_f, rec_ok_f = recover(cap_fast, nparts)
             if nparts > 1:
                 part_q = jnp.sum(qual.reshape(m, nparts, pw), axis=2)
