@@ -52,7 +52,7 @@ HEADLINE = "ds11"
 SHAPES_BY_NAME = [(s[0], s) for s in SHAPES]
 
 
-def device_gate_vs_v2(q, r, idx) -> tuple:
+def device_gate_vs_v2(q, r, idx, chunk_cap=1 << 20) -> tuple:
     """On-device differential correctness gate for shapes too large to read
     back (the tunnel's D2H runs ~30 MB/s): cross-check the fused answer
     against v2's independent streaming-scan path, applying the harness
@@ -67,7 +67,7 @@ def device_gate_vs_v2(q, r, idx) -> tuple:
     n = r.shape[0]
     # Wider chunks than v2's default: 16 scan steps instead of 256 keeps
     # the gate's compile+run cost small on the bench path.
-    chunk = min(1 << 20, n)
+    chunk = min(chunk_cap, n)
     assert n % chunk == 0, "bench shapes are power-of-two n"
     i2 = _v2_argmin(q, r, n, chunk)
 
@@ -644,6 +644,33 @@ def main():
         print(f"# v11 window (3,16,2^24): {v11_ms:.3f} ms "
               f"(certified {certified}/16)", file=sys.stderr, flush=True)
 
+        # WARM rebuild (VERDICT r3 item 6): the serving cost of
+        # refreshing the projection index once the process has paid
+        # compile/first-touch — the number the mutable-serving story
+        # depends on (the cold build_s above includes ~35 s of process
+        # one-time cost). Forced completion via small strided readbacks
+        # of every component (block_until_ready alone does not force
+        # completion through the tunnel — CLAUDE.md).
+        rebuild_ts = []
+        for rep in range(3):
+            t0 = time.time()
+            pre_r = build_projection_index(rv + jnp.float32(rep + 1) * 1e-9)
+            for part in jax.tree_util.tree_leaves(pre_r):
+                np.asarray(jax.device_get(
+                    part if np.ndim(part) == 0 or part.size <= 16
+                    else part.reshape(-1)[:: max(1, part.size // 16)]))
+            rebuild_ts.append(time.time() - t0)
+        v11_warm_s = sorted(rebuild_ts)[1]
+        details["rows"].append({
+            "name": "v11_warm_rebuild_2^24_k3",
+            "ms": round(v11_warm_s * 1e3, 1),
+            "timing": "median of 3 warm rebuilds, host-synced readback",
+            "note": "projection index rebuild after compile/first-touch "
+                    "(cold first build: see v11_window build_s)",
+        })
+        print(f"# v11 warm rebuild (2^24, k=3): {v11_warm_s * 1e3:.0f} ms",
+              file=sys.stderr, flush=True)
+
         # Production dispatch path: NNIndex auto-strategy routes this
         # niche batch to the projection pipeline (cert-rate probe at
         # build, per-batch cost model, on-device lax.cond fallback — no
@@ -882,6 +909,126 @@ def main():
                 sys.exit(1)
             print(f"# {name}: {tk_ms:.3f} ms errors {errs_t}/{total_t}",
                   file=sys.stderr, flush=True)
+
+    # ---- Batch quantized serving (VERDICT r3 item 5) + embedding-scale
+    # (item 3): m=1024 rows for every store, and the wide-k regime a
+    # modern vector service actually runs. Steady-state eager top-K is
+    # measured host-synced AFTER a real warm phase: the first ~12
+    # dispatches after an index build pay a ~2 s first-touch transient
+    # on the dev tunnel (scripts/r19_serving_rows.py) that amplified
+    # protocols never see.
+    if on_tpu:
+        import time as _time
+
+        from tpu_knn.engine.index import NNIndex as _NNIdx
+
+        def steady_query_ms(ix, qb, kk, warm=16, reps=20):
+            for _ in range(warm):
+                out = ix.query(qb, neighbors=kk)
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            c = jnp.float32(0)
+            for _ in range(reps):
+                ia, da = ix.query(qb, neighbors=kk)
+                c = c + ia.astype(jnp.float32).sum() + da.sum()
+            np.asarray(c)
+            return (_time.perf_counter() - t0) / reps * 1e3
+
+        kqb = jax.random.fold_in(key, 77)
+        qb = jax.random.uniform(jax.random.fold_in(kqb, 1), (1024, 16),
+                                jnp.float32)
+        rb = jax.random.uniform(jax.random.fold_in(kqb, 2),
+                                (1 << 20, 16), jnp.float32)
+        for store in ("float32", "bf16", "int8"):
+            ixs = _NNIdx(rb, store=store)
+            runs, opss = ixs.pipeline(1024)
+
+            def st_step(i, c, q, ops, runs=runs):
+                eps = i.astype(jnp.float32) * 1e-9
+                ia, da = runs(q + eps, *ops)
+                return _consume(c, da, ia)
+
+            mss, iterss = calibrated_amplified_ms(st_step, qb, opss)
+            ias, _das = runs(qb, *opss)
+            if store == "int8":
+                qg = ixs._i8_q(qb)
+                errss, tots = device_gate_vs_v2(
+                    qg, ixs.ref_dev.astype(jnp.float32), ias)
+            elif store == "bf16":
+                errss, tots = device_gate_vs_v2(
+                    qb, ixs.ref_dev.astype(jnp.float32), ias)
+            else:
+                errss, tots = device_gate_vs_v2(qb, rb, ias)
+            tk_ms = steady_query_ms(ixs, qb, 16)
+            details["rows"].append({
+                "name": f"batch_store_1024x2^20_k16_{store}",
+                "k": 16, "m": 1024, "n": 1 << 20, "ms": round(mss, 3),
+                "timing": f"amplified x{iterss}",
+                "topk16_eager_ms": round(tk_ms, 3),
+                "errors": f"{errss}/{tots}",
+                "gate": "on-device v2 differential over the stored "
+                        "points",
+                "note": "m=1024 1-NN through the prepared pipeline; "
+                        "topk16_eager_ms is steady-state "
+                        "NNIndex.query(neighbors=16) per call "
+                        "(host-synced). int8 batch queries materialize "
+                        "a bf16 grid operand per call: measured 0.028 "
+                        "ms (scripts/r16_measure_misc.py D) — no "
+                        "persistent-operand caching needed.",
+            })
+            if errss:
+                print(f"CORRECTNESS FAILURE on batch_store {store}",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# batch store={store}: 1-NN {mss:.3f} ms, top-16 "
+                  f"{tk_ms:.3f} ms/call, errors {errss}/{tots}",
+                  file=sys.stderr, flush=True)
+            del ixs, runs, opss
+        del qb, rb
+
+        # Embedding-scale batch regime (k=128 / k=768 at m=1024).
+        for k_e in (128, 768):
+            kqe = jax.random.fold_in(key, 1000 + k_e)
+            qe = jax.random.uniform(jax.random.fold_in(kqe, 1),
+                                    (1024, k_e), jnp.float32)
+            re = jax.random.uniform(jax.random.fold_in(kqe, 2),
+                                    (1 << 20, k_e), jnp.float32)
+            ixe = _NNIdx(re)
+            rune, opse = ixe.pipeline(1024)
+
+            def em_step(i, c, q, ops, rune=rune):
+                eps = i.astype(jnp.float32) * 1e-9
+                ia, da = rune(q + eps, *ops)
+                return _consume(c, da, ia)
+
+            mse, iterse = calibrated_amplified_ms(em_step, qe, opse,
+                                                  max_iters=256)
+            iae, _dae = rune(qe, *opse)
+            errse, tote = device_gate_vs_v2(qe, re, iae,
+                                            chunk_cap=1 << 16)
+            tk_e = steady_query_ms(ixe, qe, 16, warm=8, reps=10)
+            mxu_floor = 2 * 1024 * (1 << 20) * k_e * 3 / 197e9
+            details["rows"].append({
+                "name": f"embed_batch_1024x2^20_k{k_e}",
+                "k": k_e, "m": 1024, "n": 1 << 20, "ms": round(mse, 3),
+                "timing": f"amplified x{iterse}",
+                "topk16_eager_ms": round(tk_e, 3),
+                "bf16x3_mxu_floor_ms": round(mxu_floor, 1),
+                "errors": f"{errse}/{tote}",
+                "gate": "on-device v2 differential (2^16 chunks)",
+                "note": "embedding-scale batch 1-NN through the "
+                        "prepared pipeline (precision "
+                        f"{ixe.precision}); routing rationale in "
+                        "docs/SERVING.md",
+            })
+            if errse:
+                print(f"CORRECTNESS FAILURE on embed k={k_e}",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# embed k={k_e}: 1-NN {mse:.3f} ms (floor "
+                  f"{mxu_floor:.1f}), top-16 {tk_e:.3f} ms/call, "
+                  f"errors {errse}/{tote}", file=sys.stderr, flush=True)
+            del ixe, rune, opse, qe, re
 
     # Derived per-call floor (PERF_NOTES "Per-call prep transpose"):
     # prep relayout + prepared scan, for rows whose pipeline still preps

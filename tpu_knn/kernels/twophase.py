@@ -33,8 +33,15 @@ import numpy as np
 from tpu_knn.engine.registry import register_version
 from tpu_knn.utils.shapes import cdiv, round_up
 
-#: Max elements of the materialized (m, n) matrix for v1 (1 GiB of f32).
-V1_MAX_MATRIX_ELEMS = 1 << 28
+#: Max elements of the materialized (m, n) matrix for v1. 2^30 (4 GiB
+#: of f32) MEASURED working on one 16 GB v5e chip: ds10/ds11
+#: (m=1024, n=2^20) run at 12.2 / 10.4 ms with 0 errors against the
+#: chunked-exact differential (scripts/r16_measure_misc.py section A) —
+#: the reference's v1 records the same shapes at 384 / 489 ms on a
+#: 32 GB V100 (README.md:284). Beyond 4 GiB the matrix plus its argmin
+#: reduction intermediates crowd the 16 GB HBM; v1 delegates to v2
+#: (streaming carry), which serves every n.
+V1_MAX_MATRIX_ELEMS = 1 << 30
 
 #: n-axis chunk length for the v2 stream.
 V2_CHUNK = 1 << 16
