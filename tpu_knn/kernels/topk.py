@@ -123,6 +123,12 @@ EXTRACT_TILE_N_QUAD = 8192
 EXTRACT_TILE_N_OCT = 4096
 EXTRACT_TILE_M = 256
 
+#: Extraction tile_m for the K > 32 cubic mode: 512 measured 8.57 ms vs
+#: 9.05 at 256 end-to-end (K=64, scripts/r19_tile_resweep.py) — the
+#: packed 128-col output halves the per-row store overhead. Quad/oct
+#: keep 256 (512x8192 crashes the Mosaic compile; r3 tile sweeps).
+EXTRACT_TILE_M_CUBIC = 512
+
 #: Auto-routing boundary, measured on v5e at n=2^20, k=16: the sweep's
 #: insertion fold costs ~K compare-exchanges per score element over
 #: tile_m rows — it wins only the small-batch regime (m=8/K=8: 0.354 ms
@@ -1374,7 +1380,7 @@ def _build_seeded_rounds(m: int, n: int, k: int, kk: int, n_ops: int,
     vs the passes engine (one full reference read PER result) this is
     ceil(K/64) * ~2 reads: measured numbers in docs/PERF_NOTES.md
     "Round-3" item 8."""
-    tile_m = min(256, round_up(m, 8))
+    tile_m = min(EXTRACT_TILE_M_CUBIC, round_up(m, 8))
     t = _extract_tile_n(n_ops, EXTRACT_TILE_N_CUBIC, k)
     # emit_rem: each round's extraction folds the remainder's per-lane
     # minima in the same read, so rounds >= 2 need NO pre-pass — bound
@@ -1607,7 +1613,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # count whose moment columns divide or are divisible by 128;
         # pick the widest 128 * 2^p tile dividing the operand width
         # (128 always does).
-        tile_m = min(EXTRACT_TILE_M, round_up(m, 8))
+        tile_m = min(EXTRACT_TILE_M_CUBIC if kk > 32 else
+                     EXTRACT_TILE_M, round_up(m, 8))
         max_tile_n = (EXTRACT_TILE_N_QUAD if kk <= 16 else
                       EXTRACT_TILE_N_OCT if kk <= 32 else
                       EXTRACT_TILE_N_CUBIC)
