@@ -810,3 +810,35 @@ def test_compact_and_solve_p3_gather_cubic():
                       for (rr, c), ls in lanes_per_cell.items()
                       if rr == r for l in ls)
         assert got == want
+
+
+def test_seeded_engine_single_band_k_beyond_64():
+    """64 < K <= 128 at large-enough nc runs as ONE band: a depth-2
+    pass 1 (each lane's two smallest scores = 256 distinct elements)
+    bounds the global K-th score, 64-lane cells keep the cubic solver
+    viable, and the whole chain needs 2 reference reads instead of the
+    multi-round engine's 3. Differential vs the oracle with planted
+    duplicates; a dense near-duplicate cluster must still certify into
+    the passes fallback and stay exact."""
+    rng = np.random.default_rng(94)
+    q = rng.random((6, 9), np.float32)
+    r = rng.random((1 << 16, 9), np.float32)   # nc64 = 1024 = 8*128
+    r[123] = q[2]
+    r[9000] = q[2]                             # duplicate pair tie
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    for kk in (72, 128):
+        si, sd = topk_knn(q, r, kk, method="seeded")
+        np.testing.assert_allclose(np.asarray(sd),
+                                   np.sort(D, 1)[:, :kk],
+                                   rtol=1e-5, atol=1e-6)
+        assert int(np.asarray(si)[2, 0]) == 123
+        assert int(np.asarray(si)[2, 1]) == 9000
+    # dense cluster: >3 qualifiers in one 64-lane cell -> cnt overflow
+    # certificate -> passes fallback, still exact
+    r2 = (rng.random((1 << 16, 9)) * 10 + 5).astype(np.float32)
+    for j in range(6):
+        r2[40 + j] = q[0] + np.float32(1e-5 * (j + 1))
+    si2, sd2 = topk_knn(q, r2, 96, method="seeded")
+    D2 = ((q[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :96])

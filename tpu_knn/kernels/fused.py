@@ -592,7 +592,7 @@ def _build_banded_candidates(m: int, n: int, k: int,
 
 def _fused_minima_kernel(q_ref, r_ref, *rest,
                          n: int, tile_n: int, n_tiles: int,
-                         precision: str, banded: bool):
+                         precision: str, banded: bool, depth: int = 1):
     """VALUE-ONLY per-lane minima fold — the seeded engines' pass 1.
 
     The seeded top-K bound (kernels/topk.py) needs only the K-th smallest
@@ -605,7 +605,17 @@ def _fused_minima_kernel(q_ref, r_ref, *rest,
     _inflate_bound and floods the certificate, never a silent miss).
     ``banded=True`` adds a per-row exclusive lower bound lo: only
     s > lo folds — the strictly-greater band the multi-round engine's
-    pass 1 uses (bound_i == I32_MAX lex semantics)."""
+    pass 1 uses (bound_i == I32_MAX lex semantics).
+
+    ``depth=2`` keeps each lane's TWO smallest scores (out (m, 256):
+    min1 lanes 0-127, min2 lanes 128-255). The union holds 2*128
+    DISTINCT elements' scores, so its K-th smallest upper-bounds the
+    global K-th score for K <= 256 — the single-band K <= 128 top-K
+    engine's bound source (kernels/topk.py), replacing the multi-round
+    chain's second full reference read. Fold: new1 = min(s, m1);
+    the displaced mid = (s < m1 ? m1 : s) then folds into m2 — a NaN
+    mid is dropped by the second strict compare, preserving the
+    NaN-never-enters invariant."""
     if banded:
         lo_ref, out_s_ref, best_s = rest
     else:
@@ -624,11 +634,24 @@ def _fused_minima_kernel(q_ref, r_ref, *rest,
         s = jnp.where(col < n, s, jnp.inf)
     if banded:
         s = jnp.where(s > lo_ref[:], s, jnp.inf)
-    cur = best_s[:]
-    for c in range(tile_n // 128):
-        sc = s[:, c * 128:(c + 1) * 128]
-        cur = jnp.where(sc < cur, sc, cur)
-    best_s[:] = cur
+    if depth == 1:
+        cur = best_s[:]
+        for c in range(tile_n // 128):
+            sc = s[:, c * 128:(c + 1) * 128]
+            cur = jnp.where(sc < cur, sc, cur)
+        best_s[:] = cur
+    else:
+        cur1 = best_s[:, :128]
+        cur2 = best_s[:, 128:]
+        for c in range(tile_n // 128):
+            sc = s[:, c * 128:(c + 1) * 128]
+            lt = sc < cur1
+            new1 = jnp.where(lt, sc, cur1)
+            mid = jnp.where(lt, cur1, sc)
+            cur2 = jnp.where(mid < cur2, mid, cur2)
+            cur1 = new1
+        cur = jnp.concatenate([cur1, cur2], axis=1)
+        best_s[:] = cur
 
     @pl.when(j == n_tiles - 1)
     def _():
@@ -640,7 +663,7 @@ def _build_minima_candidates(m: int, n: int, k: int,
                              tile_m: int, tile_n: int,
                              precision: str = DEFAULT_PRECISION,
                              n_ops: int | None = None,
-                             banded: bool = False):
+                             banded: bool = False, depth: int = 1):
     """(search (m,k), SoA ref[, lo (m,1)]) -> (m, 128) f32 per-lane score
     minima (no indices) — see _fused_minima_kernel. Same score arithmetic
     and prepadded-operand protocol as _build_banded_candidates, so bounds
@@ -658,10 +681,13 @@ def _build_minima_candidates(m: int, n: int, k: int,
     n_tiles = n_pad // tile_n
     scalar_spec = pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
+    ow = 128 * depth
+    if depth not in (1, 2) or (depth == 2 and banded):
+        raise ValueError("depth must be 1 or 2 (2 only unbanded)")
     call = pl.pallas_call(
         functools.partial(_fused_minima_kernel, n=n, tile_n=tile_n,
                           n_tiles=n_tiles, precision=precision,
-                          banded=banded),
+                          banded=banded, depth=depth),
         grid=(m_tiles, n_tiles),
         in_specs=[
             pl.BlockSpec((tile_m, k_pad), lambda i, j: (i, 0),
@@ -669,10 +695,10 @@ def _build_minima_candidates(m: int, n: int, k: int,
             pl.BlockSpec((k_pad, tile_n), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ] + ([scalar_spec] if banded else []),
-        out_specs=[pl.BlockSpec((tile_m, 128), lambda i, j: (i, 0),
+        out_specs=[pl.BlockSpec((tile_m, ow), lambda i, j: (i, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((tile_m, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((m_pad, ow), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, ow), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k_pad,
             bytes_accessed=m_pad * k_pad * 4 + n_pad * k_pad * 4

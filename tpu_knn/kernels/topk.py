@@ -115,6 +115,12 @@ SEEDED_MAX_NEIGHBORS = PASSES_MAX_NEIGHBORS
 #: work (tile sweep: scripts/r15_profile_seeded.py).
 EXTRACT_TILE_N_CUBIC = 2048
 
+#: Extraction tile width for the 64-lane-cell single-band K <= 128
+#: mode. 1024 halves the moment-matmul columns (128 vs 256) but loses
+#: end to end to per-tile overhead: K=128 13.70 ms at 1024 vs 13.36 at
+#: 2048 (scripts / r4 probe_band sweep).
+EXTRACT_TILE_N_HEX = 2048
+
 #: Extraction tile maxima for the 4-field 256-lane-cell (K <= 16) and
 #: 8-field 256-lane-cell (16 < K <= 32) modes, and the extraction
 #: tile_m. Sweepable module constants (probes retune them; the engine
@@ -429,6 +435,14 @@ def _extract_mode(tile_n: int, kk: int) -> tuple[int, int]:
     while 128-lane cells keep the cubic solver viable (max cnt 3 over
     32 perturbed reps at K=48/64 — r6_probe_k64) and the extraction
     matmul is slightly cheaper (6.99 vs 7.56 ms at (256,4096))."""
+    if kk > 64:
+        # Single-band K <= 128 (see _build_topk): ~2K+16 qualifiers
+        # would put 4+ in some 128-lane cell nearly every batch; 64-lane
+        # cells keep the cubic solver viable (expected 4+-qualifier
+        # cells ~0.05/call at K=128, n=2^20) and every moment still
+        # fits the packed int32 layout (e1 <= 189 < 2^10,
+        # p2 <= 11907 < 2^18, p3 <= 750141 exact in 3 digits).
+        return 64, _EXTRACT_FIELDS_CUBIC
     if kk > 32:
         return 128, _EXTRACT_FIELDS_CUBIC
     if tile_n % 256 == 0:
@@ -1280,18 +1294,29 @@ def _compact_and_solve(m: int, nc: int, parts: int, cap: int, fields,
 RERANK_COMPACT_CAP = 224
 
 
-def _compact_cols(cols, n: int, cap: int = RERANK_COMPACT_CAP):
+def _compact_cols(cols, n: int, cap: int = RERANK_COMPACT_CAP,
+                  parts: int = 1):
     """Dense-compact the valid candidate columns (< n) of each row into
-    ``cap`` slots (order preserved; n sentinels beyond). Returns
-    (narrow (m, cap) cols, ok: every row's candidates fit). Reuses the
-    Pallas positional compactor — candidates ride as col+1 so slot
-    validity stays field-0 != 0."""
+    ``parts * cap`` slots (order preserved; n sentinels beyond). Returns
+    (narrow (m, parts * cap) cols, ok: every part's candidates fit its
+    cap). Reuses the Pallas positional compactor — candidates ride as
+    col+1 so slot validity stays field-0 != 0. ``parts > 1`` lifts the
+    compactor's 256-slot ceiling for the K > 64 band (each part
+    compacts its contiguous column range; ascending order is preserved
+    across the concatenation)."""
     m, w = cols.shape
-    cap = min(cap, w)
-    comp = _build_cell_compactor(m, w, 1, cap, 1,
+    if parts > 1 and (w % parts or (w // parts) % 128):
+        parts = 1
+    cap = min(cap, w // parts)
+    comp = _build_cell_compactor(m, w, parts, cap, 1,
                                  tile_m=min(128, round_up(m, 8)))
     _pos, vals = comp(jnp.where(cols < n, cols + 1, 0))
-    ok = jnp.all(jnp.sum(cols < n, axis=1) <= cap)
+    valid = cols < n
+    if parts > 1:
+        part_q = jnp.sum(valid.reshape(m, parts, w // parts), axis=2)
+        ok = jnp.all(part_q <= cap)
+    else:
+        ok = jnp.all(jnp.sum(valid, axis=1) <= cap)
     return jnp.where(vals != 0, vals - 1, n), ok
 
 
@@ -1601,7 +1626,14 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
 
             run_chunked.eager_chunked = True
             return run_chunked
-        if kk > SEEDED_ROUND_K:
+        # 64 < K <= 128 runs as ONE band when the reference is large
+        # enough for 64-lane cells to stay sparse: a depth-2 pass 1
+        # (each lane's two smallest — 256 distinct elements' scores)
+        # provably bounds the global K-th score for K <= 256, replacing
+        # the multi-round chain's second full reference read. Small nc
+        # (or K > 128) keeps the score-band rounds.
+        single_band = kk <= 2 * SEEDED_ROUND_K and n_ops // 64 >= 8 * kk
+        if kk > SEEDED_ROUND_K and not single_band:
             return _build_seeded_rounds(m, n, k, kk, n_ops, precision)
         # Measured geometry (v5e tile sweeps, PERF_NOTES "Round-3"):
         # for the 4-field MXU-moment kernel 256x8192 is fastest (3.60 ms
@@ -1617,7 +1649,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                      EXTRACT_TILE_M, round_up(m, 8))
         max_tile_n = (EXTRACT_TILE_N_QUAD if kk <= 16 else
                       EXTRACT_TILE_N_OCT if kk <= 32 else
-                      EXTRACT_TILE_N_CUBIC)
+                      EXTRACT_TILE_N_CUBIC if kk <= 64 else
+                      EXTRACT_TILE_N_HEX)
         tile_n = _extract_tile_n(n_ops, max_tile_n, k)
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
@@ -1632,7 +1665,8 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         while n_ops % p1_tile_n != 0:
             p1_tile_n -= 128
         pass1 = _build_minima_candidates(m, n, k, p1_tile_m, p1_tile_n,
-                                         precision, n_ops=n_ops)
+                                         precision, n_ops=n_ops,
+                                         depth=2 if kk > 64 else 1)
         # The certified fallback: exact for ANY qualifier distribution.
         fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
         cell = extract.cell
@@ -1652,8 +1686,13 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # (cap_full == cap_fast) and K = 32 escalates only on qualifier
         # spikes past 48; only overflow PAST
         # cap_full routes to the fallback (the cap term of `certified`).
-        cap_full = min(nc, 2 * kk + 16)
-        cap_fast = min(cap_full, 48)
+        cap_full = min(nc, 2 * kk + 16, 256)
+        # The butterfly compactor's cost is cap-independent (cap only
+        # sets the kept-slot slice), so the K > 64 single band affords a
+        # generous per-part cap: ~2K+16 qualifiers spread over 8 parts
+        # (mean ~34/part at K=128) need 96 to keep part spikes off the
+        # escalation path.
+        cap_fast = min(cap_full, 96 if kk > 64 else 48)
         # K > 32 needs more capacity than one narrow compaction can give
         # (2K+16 = 144 at K=64, qualifiers up to ~110/row): split the
         # cell axis into 4 parts with per-part cap 48 — total capacity
@@ -1662,7 +1701,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # cost 4x (the historical reason — keeping every lax.top_k call
         # under the XLA ~48-slot sort cliff, r6_probe_k64{b,c,d} — died
         # with the top_k compaction itself, r7_probe_compact{,2}.py).
-        nparts = 4 if kk > 32 else 1
+        nparts = 8 if kk > 64 else 4 if kk > 32 else 1
         while nc % nparts != 0 or (nparts > 1 and nc // nparts % 128):
             nparts //= 2
         pw = nc // nparts
@@ -1719,10 +1758,15 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                     m, nc, parts_i, cap_i, fields, cell=cell, n=n,
                     solvable=solvable)
                 if cols.shape[1] > 256:
-                    # K > 32 recovery widths (576 fast / 432 escalated)
-                    # carry ~4x slack; dense-compact before the sort-
-                    # dominated rerank (overflow joins the certificate).
-                    cols, okc = _compact_cols(cols, n)
+                    # K > 32 recovery widths (576 fast / 432 escalated;
+                    # 2304 at the K=128 band) carry ~4x slack;
+                    # dense-compact before the sort-dominated rerank
+                    # (overflow joins the certificate). K > 64 needs
+                    # ~2K+ slots: 2 parts x 256.
+                    if kk > 64:
+                        cols, okc = _compact_cols(cols, n, 256, parts=2)
+                    else:
+                        cols, okc = _compact_cols(cols, n)
                     rec_ok = rec_ok & okc
                 idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
                 return idx_k, d2_k, rec_ok
