@@ -923,16 +923,32 @@ def main():
         from tpu_knn.engine.index import NNIndex as _NNIdx
 
         def steady_query_ms(ix, qb, kk, warm=16, reps=20):
+            """Repeat until converged: the dev tunnel's per-dispatch
+            transient after an index build can outlast any fixed warm
+            count (measured 67.9 ms/call with warm=16 where steady state
+            is 6.8 — the first-measured store eats it), so re-measure
+            until a pass stops improving on the last by >30% (<= 4
+            passes) and report the minimum."""
+            def one_pass():
+                t0 = _time.perf_counter()
+                c = jnp.float32(0)
+                for _ in range(reps):
+                    ia, da = ix.query(qb, neighbors=kk)
+                    c = c + ia.astype(jnp.float32).sum() + da.sum()
+                np.asarray(c)
+                return (_time.perf_counter() - t0) / reps * 1e3
+
             for _ in range(warm):
                 out = ix.query(qb, neighbors=kk)
             jax.block_until_ready(out)
-            t0 = _time.perf_counter()
-            c = jnp.float32(0)
-            for _ in range(reps):
-                ia, da = ix.query(qb, neighbors=kk)
-                c = c + ia.astype(jnp.float32).sum() + da.sum()
-            np.asarray(c)
-            return (_time.perf_counter() - t0) / reps * 1e3
+            best = one_pass()
+            for _ in range(3):
+                nxt = one_pass()
+                improved = nxt < 0.7 * best
+                best = min(best, nxt)
+                if not improved:
+                    break
+            return best
 
         kqb = jax.random.fold_in(key, 77)
         qb = jax.random.uniform(jax.random.fold_in(kqb, 1), (1024, 16),
