@@ -587,10 +587,10 @@ def test_extraction_masks_whole_padding_tiles():
 
     r_op = jnp.pad(jnp.asarray(r), ((0, 1536 - n), (0, 0))).T
     mom = _build_extract_candidates(m, n, k, 8, 512, "packed", n_ops=1536)
-    cnt, _, _ = mom(jnp.asarray(q), (r_op,),
-                    jnp.full((m, 1), 5.0, jnp.float32))
-    cnt = np.asarray(cnt)
-    assert int((cnt[:, -(-n // mom.cell):] > 0).sum()) == 0
+    (ap,) = mom(jnp.asarray(q), (r_op,),
+                jnp.full((m, 1), 5.0, jnp.float32))
+    ap = np.asarray(ap)
+    assert int((ap[:, -(-n // mom.cell):] != 0).sum()) == 0
     # the cubic (K > 32) mode packs in-kernel: phantom cells must not
     # qualify there either
     momc = _build_extract_candidates(m, n, k, 8, 512, "packed",

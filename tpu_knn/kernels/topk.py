@@ -592,29 +592,28 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
     # min(cnt,3) != 0 at every qualifier — the validity contract).
     cpt = tile_n // cell
     if n_fields == _EXTRACT_FIELDS:
-        # Quadratic mode: the raw 4-field f32 output keeps the DIRECT
-        # 128-lane store at the production tile (cols = 4 * 32 = 128 at
-        # (256, 8192)); in-kernel packing forced the g-grouped
-        # accumulate path there and MEASURED WORSE end to end (K=16
-        # 6.14 -> 8.07 ms) — the shared output block serializes the
-        # revisiting grid steps. The cubic mode (below) packs in-kernel
-        # and measured BETTER (K=64 10.03 -> 9.10).
-        cols = n_fields * cpt
+        # Quadratic mode: pack in-kernel like the cubic mode, but store
+        # PADDED-DIRECT — each tile owns a (tile_m, 128) block with ap
+        # in its first cpt lanes. The g-grouped accumulate path (shared
+        # output blocks across g tiles) MEASURED WORSE here (K=16 6.14
+        # -> 8.07 ms: the revisiting grid steps serialize), and the raw
+        # 4-field f32 direct store costs XLA a strided unpack plus the
+        # a_pack build over the full (m, nc * nf) array. Padding wastes
+        # 128/cpt x the packed bytes (4x at the production (256, 8192)
+        # tile — still 2x LESS than the raw f32 output) and the caller
+        # slices the real lanes in one pass.
+        cnt_i = mo[:, 0 * cpt:1 * cpt].astype(jnp.int32)
+        e1_i = mo[:, 1 * cpt:2 * cpt].astype(jnp.int32)
+        p2_i = (mo[:, 2 * cpt:3 * cpt] * 256.0
+                + mo[:, 3 * cpt:4 * cpt]).astype(jnp.int32)
+        packed = (jnp.minimum(cnt_i, 3) | (e1_i << 2) | (p2_i << 12))
+        flag = jnp.where(cnt_i > 2, jnp.int32(1), jnp.int32(0))
+        ap = (packed & jnp.int32(0x3FFFFFFF)) | (flag << 30)
         out_ref = pack_refs[0]
-        if cols % 128 == 0:
-            out_ref[:] = mo
-            return
-        g = 128 // cols
-        mop = pltpu.roll(jnp.pad(mo, ((0, 0), (0, 128 - cols))),
-                         (j % g) * cols, 1)
-
-        @pl.when(j % g == 0)
-        def _():
-            out_ref[:] = mop
-
-        @pl.when(j % g != 0)
-        def _():
-            out_ref[:] = out_ref[:] + mop
+        if cpt % 128 == 0:
+            out_ref[:] = ap
+        else:
+            out_ref[:] = jnp.pad(ap, ((0, 0), (0, 128 - cpt)))
         return
     solvable = 3
     cnt_i = mo[:, 0 * cpt:1 * cpt].astype(jnp.int32)
@@ -687,24 +686,29 @@ def _build_extract_candidates(m: int, n: int, k: int,
     cell, n_fields = _extract_mode(tile_n, kk)
     cpt = tile_n // cell
     cols = n_fields * cpt
-    #: cubic mode packs in-kernel (n_pack int32 outputs, cpt columns per
-    #: tile); quadratic keeps the raw f32 digit output (cols columns per
-    #: tile) — see _extract_moment_kernel.
-    packed_out = n_fields == _EXTRACT_FIELDS_CUBIC
-    ow = cpt if packed_out else cols
-    if ow % 128 != 0 and 128 % ow != 0:
-        raise ValueError(f"tile_n={tile_n} gives {ow} output columns per"
-                         " tile; must divide or be divisible by 128")
+    #: Both modes pack in-kernel (int32 outputs, cpt real columns per
+    #: tile). The cubic mode g-groups narrow tiles into shared 128-lane
+    #: accumulate blocks; the quadratic mode stores PADDED-DIRECT (one
+    #: 128-lane block per tile) — see _extract_moment_kernel.
+    quad = n_fields == _EXTRACT_FIELDS
+    if cpt % 128 != 0 and 128 % cpt != 0:
+        raise ValueError(f"tile_n={tile_n} gives {cpt} output columns "
+                         "per tile; must divide or be divisible by 128")
     nc = n_pad // cell
-    n_pack = 2 if packed_out else 1
+    n_pack = 1 if quad else 2
     w = np.asarray(_moment_weights(tile_n, cell, n_fields))
-    if ow % 128 == 0:
-        out_w = n_tiles * ow
-        out_spec = pl.BlockSpec((tile_m, ow), lambda i, j: (i, j),
+    padded_direct = quad and cpt % 128 != 0
+    if cpt % 128 == 0:
+        out_w = n_tiles * cpt
+        out_spec = pl.BlockSpec((tile_m, cpt), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+    elif padded_direct:
+        out_w = n_tiles * 128
+        out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
     else:
-        g = 128 // ow
-        #: columns beyond n_tiles * ow (the ragged tail of the last
+        g = 128 // cpt
+        #: columns beyond n_tiles * cpt (the ragged tail of the last
         #: output block) are never written — masked below.
         out_w = -(-n_tiles // g) * 128
         out_spec = pl.BlockSpec((tile_m, 128), lambda i, j: (i, j // g),
@@ -730,9 +734,8 @@ def _build_extract_candidates(m: int, n: int, k: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * n_pack + ([rem_spec] if emit_rem else []),
-        out_shape=[jax.ShapeDtypeStruct(
-            (m_pad, out_w), jnp.int32 if packed_out else jnp.float32)
-            for _ in range(n_pack)]
+        out_shape=[jax.ShapeDtypeStruct((m_pad, out_w), jnp.int32)
+                   for _ in range(n_pack)]
         + ([jax.ShapeDtypeStruct((m_pad, 128), jnp.float32)]
            if emit_rem else []),
         cost_estimate=pl.CostEstimate(
@@ -772,17 +775,13 @@ def _build_extract_candidates(m: int, n: int, k: int,
                          constant_values=jnp.inf)
             args = args + (lo,)
         outs = call(*args, jnp.asarray(w))
-        if packed_out:
+        if padded_direct:
+            # Strip each tile's pad lanes in one strided pass.
+            packs = (outs[0][:m].reshape(m, n_tiles, 128)[:, :, :cpt]
+                     .reshape(m, nc),)
+        else:
             # Drop the never-written ragged tail columns.
             packs = tuple(o[:m, :nc] for o in outs[:n_pack])
-        else:
-            # Field-major raw digits: (m, n_tiles, nf, cpt) view.
-            x = outs[0][:m, :n_tiles * cols].reshape(
-                m, n_tiles, n_fields, cpt)
-            cnt = x[:, :, 0, :].reshape(m, nc).astype(jnp.int32)
-            suml = x[:, :, 1, :].reshape(m, nc)
-            sumsq = (256.0 * x[:, :, 2, :] + x[:, :, 3, :]).reshape(m, nc)
-            packs = (cnt, suml, sumsq)
         if emit_rem:
             return packs + (outs[n_pack][:m],)
         return packs
@@ -1714,21 +1713,13 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             # <= B. Inflation + NaN handling: _inflate_bound.
             bound = jax.lax.sort(cs1, dimension=-1)[:, kk - 1:kk]
             bound = _inflate_bound(bound)
+            # The kernel emits the packed payloads directly
+            # (bit 30 = cnt-overflow certificate; + p3 for cubic).
             moms = extract(search, r_ops, bound)           # (m, nc) each
-            if solvable == 3:
-                # Cubic mode: the kernel emits the packed payloads
-                # (bit 30 = cnt-overflow certificate) + p3.
-                a_pack, p3m = moms
-                cnt_ok = jnp.max(a_pack) < (1 << 30)
-                counted = jnp.sum(jnp.minimum(a_pack & 3, solvable),
-                                  axis=1)
-            else:
-                cnt, suml, sumsq = moms
-                a_pack = (jnp.minimum(cnt, 3)
-                          | (suml.astype(jnp.int32) << 2)
-                          | (sumsq.astype(jnp.int32) << 12))
-                cnt_ok = jnp.max(cnt) <= solvable
-                counted = jnp.sum(jnp.minimum(cnt, solvable), axis=1)
+            a_pack = moms[0]
+            p3m = moms[1] if solvable == 3 else None
+            cnt_ok = jnp.max(a_pack) < (1 << 30)
+            counted = jnp.sum(jnp.minimum(a_pack & 3, solvable), axis=1)
             qual = a_pack != 0
             # Compact the qualifying cells (escalating capacity; see the
             # cap comment above) with the Pallas positional compactor
