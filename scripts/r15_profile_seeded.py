@@ -14,6 +14,13 @@ Measures, at (m=1024, k=16, n=2^20) with prepared operands:
     (K=16) and 576 (K=64), plus narrower sort widths.
 
 Run on the real chip: python scripts/r15_profile_seeded.py
+
+HISTORICAL (r4): the compaction/moment sections predate the packed
+extraction contract (moments() now returns in-kernel-packed (A[, p3])
+instead of raw digit arrays) and will not run unmodified; kept as the
+measurement record behind PERF_NOTES "Round-4". Current anchors:
+scripts/r17_seeded_anchors.py; stage isolation: r17_compact_iso.py,
+r18_cum_profile.py.
 """
 import sys
 
