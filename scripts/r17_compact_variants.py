@@ -6,6 +6,10 @@ the fine split's grid/DMA overhead. Time _compact_and_solve directly at
 (m=1024) for single-stage vs two-stage part counts.
 
 Run on the real chip: python scripts/r17_compact_variants.py
+
+HISTORICAL (r4): the ``merge`` parameter this probe swept was measured
+a loss and removed from _compact_and_solve the same day; kept as the
+record behind PERF_NOTES "Round-4" measured negatives.
 """
 import sys
 
