@@ -842,3 +842,30 @@ def test_seeded_engine_single_band_k_beyond_64():
     D2 = ((q[:, None, :] - r2[None, :, :]) ** 2).sum(-1)
     np.testing.assert_array_equal(
         np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :96])
+
+
+@pytest.mark.parametrize("seed,k,m,n,kk,recipe", [
+    (11, 5, 9, 124928, 91, "quantized"),
+    (15, 23, 2, 107520, 74, "duplicates"),
+    (3, 9, 6, 99328, 128, "uniform"),
+])
+def test_seeded_single_band_fuzz(seed, k, m, n, kk, recipe):
+    """Randomized differential over the single-band K range (65..128),
+    distilled from a 16-config sweep (all exact) — quantized data plants
+    dense exact-tie groups across 64-lane cells; duplicates cross the
+    band/cert boundaries."""
+    rng = np.random.default_rng(seed)
+    q = rng.random((m, k), np.float32)
+    r = rng.random((n, k), np.float32)
+    if recipe == "quantized":
+        q = np.round(q * 8) / 8
+        r = np.round(r * 8) / 8
+    elif recipe == "duplicates":
+        for _ in range(10):
+            i, j = rng.integers(0, n, 2)
+            r[i] = r[j]
+        r[rng.integers(0, n)] = q[rng.integers(0, m)]
+    si, _sd = topk_knn(q, r, kk, method="seeded")
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    want = np.lexsort((np.tile(np.arange(n), (m, 1)), D))[:, :kk]
+    np.testing.assert_array_equal(np.asarray(si), want)
