@@ -64,7 +64,7 @@ def main():
     from tpu_knn.kernels.fused import fused_knn
     from tpu_knn.kernels.twolevel import twolevel_knn
     from tpu_knn.kernels.twophase import (
-        V1_MAX_MATRIX_ELEMS, _v1_argmin, _v2_argmin,
+        _v1_argmin, _v1_guard, _v2_argmin,
     )
     from tpu_knn.utils.shapes import round_up
 
@@ -88,8 +88,7 @@ def main():
     # (label, fn, guard) — guard(k, m, n) False => the version's own
     # dispatch guard delegates on this shape (cell rendered with a note).
     paths = [
-        ("v1 (matrix + argmin)", v1_fn,
-         lambda k, m, n: m * n <= V1_MAX_MATRIX_ELEMS),
+        ("v1 (matrix + argmin)", v1_fn, _v1_guard),
         ("v2 (scan two-phase XLA)", v2_fn, None),
         ("v3 (fused Pallas, AoS + on-chip transpose)",
          lambda q, r: fused_knn(q, r, soa=False)[0], None),

@@ -270,12 +270,14 @@ def section_e_embedding_scale():
         for label, prec2 in [("bf16 single-pass", "bf16_raw"),
                              ("bf16x4", "bf16x4")]:
             try:
-                i2, _d = fused_knn(q, r, precision=prec2)
+                i2, _d = fused_knn(q, r, precision=prec2,
+                                   allow_approximate=True)
                 bad2 = gate_vs_v2(q, r, i2, chunk=1 << 13)
 
                 def fstep(i, c, q, r):
                     eps = i.astype(jnp.float32) * 1e-9
-                    ii, dd = fused_knn(q + eps, r + eps, precision=prec2)
+                    ii, dd = fused_knn(q + eps, r + eps, precision=prec2,
+                                       allow_approximate=True)
                     return consume(c, ii, dd)
 
                 ms2, it2 = calibrated_amplified_ms(fstep, q, r,

@@ -844,6 +844,30 @@ def test_seeded_engine_single_band_k_beyond_64():
         np.asarray(si2), np.argsort(D2, 1, kind="stable")[:, :96])
 
 
+def test_seeded_single_band_escalation_parts2():
+    """K=128 part spike with a row census ABOVE 256: 280 exactly-tied
+    planted cells — 128 in fast-part 0 (spike past cap_fast=96 forces
+    escalation) and 152 in the second escalation half. The escalation
+    tier now runs parts=2 (2 x 256 capacity; ADVICE r4 — a parts=1
+    tier clamped at 256 sent any >256-census row to the ~27x passes
+    fallback); each half fits, so the escalated recovery certifies and
+    must be exact with lowest-index tie order."""
+    rng = np.random.default_rng(95)
+    k, n, m, kk = 9, 1 << 16, 4, 128    # cell=64 -> nc=1024, 8 parts
+    q = rng.random((m, k), np.float32)
+    r = (rng.random((n, k)) * 10 + 5).astype(np.float32)
+    planted = list(range(128)) + list(range(512, 664))
+    for c in planted:
+        r[c * 64 + 3] = q[0] + np.float32(1e-4)
+    si, sd = topk_knn(q, r, kk, method="seeded")
+    D = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1)
+    want = np.lexsort((np.tile(np.arange(n), (m, 1)), D))[:, :kk]
+    np.testing.assert_array_equal(np.asarray(si), want)
+    np.testing.assert_allclose(np.asarray(sd),
+                               np.take_along_axis(D, want, axis=1),
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("seed,k,m,n,kk,recipe", [
     (11, 5, 9, 124928, 91, "quantized"),
     (15, 23, 2, 107520, 74, "duplicates"),

@@ -266,6 +266,13 @@ class NNIndex:
             from tpu_knn.kernels.fused import auto_precision
 
             precision = auto_precision(self.k, max(self.n, capacity or 0))
+        else:
+            from tpu_knn.kernels.fused import _check_precision_certified
+
+            # Serving never accepts a selection-approximate tier: the
+            # index's ±1e-3 contract (harness/checker.py) has no
+            # allow_approximate escape hatch here by design.
+            _check_precision_certified(precision, allow_approximate=False)
         self.precision = precision
         if strategy in ("fused", "auto"):
             # tile_n is fixed at prepare time; pick for a large-batch query

@@ -883,16 +883,38 @@ def _refine(search, ref, cand, n, cutoff: float = SELECT_SCORE_CUTOFF):
     return _exact_rerank(search, ref, cand, n)
 
 
+#: Precision tiers whose SELECTION can miss the true neighbor outright
+#: (candidate never enters the rerank, so exact refinement cannot save
+#: it): bf16_raw measured 1/1024 exact-gate errors at k=768
+#: (docs/SERVING.md). Callers must opt in explicitly — the repo's ±1e-3
+#: contract does not hold for these tiers.
+UNCERTIFIED_PRECISIONS = frozenset({"bf16_raw"})
+
+
+def _check_precision_certified(precision, allow_approximate: bool):
+    if precision in UNCERTIFIED_PRECISIONS and not allow_approximate:
+        raise ValueError(
+            f"precision={precision!r} is selection-approximate (can drop "
+            "the true neighbor before exact refinement; measured 1/1024 "
+            "gate errors at k=768 — docs/SERVING.md). Pass "
+            "allow_approximate=True to accept results outside the ±1e-3 "
+            "contract.")
+
+
 def fused_knn(search, ref, *, soa: bool = True,
               tile_m: int | None = None, tile_n: int | None = None,
-              precision: str | None = None):
+              precision: str | None = None,
+              allow_approximate: bool = False):
     """Run the fused kernel on (m,k)/(n,k) arrays.
 
     Returns (indices (m,) i32, true squared distances (m,) f32) as device
     arrays (distances from the exact diff-form refinement pass).
     Padding: k zero-padded to a sublane multiple (distance-neutral), m to
     tile_m (extra rows dropped), n to tile_n (masked in-kernel with +inf).
+    Uncertified precision tiers (UNCERTIFIED_PRECISIONS) require
+    allow_approximate=True.
     """
+    _check_precision_certified(precision, allow_approximate)
     search = jnp.asarray(search, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     m, k = search.shape

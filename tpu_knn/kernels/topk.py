@@ -417,6 +417,15 @@ _EXTRACT_FIELDS = 4
 _EXTRACT_FIELDS_CUBIC = 8
 
 
+def _solvable_for(n_fields: int) -> int:
+    """Qualifiers per cell the root recovery can solve exactly for a
+    field mode — the ONE source for both the in-kernel overflow
+    certificate and the recovery path's assumption (ADVICE r4: the
+    kernel used to hardcode its flags, risking desync with
+    _solve_cells)."""
+    return 2 if n_fields == _EXTRACT_FIELDS else 3
+
+
 def _extract_mode(tile_n: int, kk: int) -> tuple[int, int]:
     """(cell lane width, field count) for the extraction kernel.
 
@@ -602,12 +611,13 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
         # 128/cpt x the packed bytes (4x at the production (256, 8192)
         # tile — still 2x LESS than the raw f32 output) and the caller
         # slices the real lanes in one pass.
+        solvable = _solvable_for(n_fields)
         cnt_i = mo[:, 0 * cpt:1 * cpt].astype(jnp.int32)
         e1_i = mo[:, 1 * cpt:2 * cpt].astype(jnp.int32)
         p2_i = (mo[:, 2 * cpt:3 * cpt] * 256.0
                 + mo[:, 3 * cpt:4 * cpt]).astype(jnp.int32)
         packed = (jnp.minimum(cnt_i, 3) | (e1_i << 2) | (p2_i << 12))
-        flag = jnp.where(cnt_i > 2, jnp.int32(1), jnp.int32(0))
+        flag = jnp.where(cnt_i > solvable, jnp.int32(1), jnp.int32(0))
         ap = (packed & jnp.int32(0x3FFFFFFF)) | (flag << 30)
         out_ref = pack_refs[0]
         if cpt % 128 == 0:
@@ -615,7 +625,7 @@ def _extract_moment_kernel(q_ref, r_ref, bs_ref, *rest,
         else:
             out_ref[:] = jnp.pad(ap, ((0, 0), (0, 128 - cpt)))
         return
-    solvable = 3
+    solvable = _solvable_for(n_fields)
     cnt_i = mo[:, 0 * cpt:1 * cpt].astype(jnp.int32)
     e1_i = mo[:, 1 * cpt:2 * cpt].astype(jnp.int32)
     p2_i = (mo[:, 2 * cpt:3 * cpt] * 256.0
@@ -790,7 +800,7 @@ def _build_extract_candidates(m: int, n: int, k: int,
     moments.cell = cell
     moments.n_fields = n_fields
     #: qualifiers per cell the recovery can solve exactly
-    moments.solvable = 2 if n_fields == _EXTRACT_FIELDS else 3
+    moments.solvable = _solvable_for(n_fields)
     return moments
 
 
@@ -1788,10 +1798,27 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             if cap_full == cap_fast and nparts == 1:
                 escalate = fallback
             else:
+                # K > 64 escalates at parts=2 (2 x 256 capacity): the
+                # typical band census is ~2K+16 (272 at K=128), above
+                # the compactor's 256-slot per-part ceiling that a
+                # parts=1 tier clamps to, so a part spike past cap_fast
+                # used to degrade straight to the ~27x passes fallback
+                # (ADVICE r4). Same per-part ceiling discipline as the
+                # downstream _compact_cols(parts=2).
+                esc_parts = (2 if kk > 64 and nc % 2 == 0
+                             and (nc // 2) % 128 == 0 else 1)
+
                 def escalate(_):
-                    idx_s, d2_s, rec_ok_s = recover(cap_full, 1)
-                    cert_full = (cert_common & rec_ok_s
-                                 & jnp.all(qual_rows <= cap_full))
+                    idx_s, d2_s, rec_ok_s = recover(cap_full, esc_parts)
+                    if esc_parts > 1:
+                        pq = jnp.sum(
+                            qual.reshape(m, esc_parts, nc // esc_parts),
+                            axis=2)
+                        full_fits = jnp.all(
+                            pq <= min(cap_full, nc // esc_parts))
+                    else:
+                        full_fits = jnp.all(qual_rows <= cap_full)
+                    cert_full = cert_common & rec_ok_s & full_fits
                     return jax.lax.cond(
                         cert_full, lambda _: (idx_s, d2_s), fallback,
                         None)

@@ -33,15 +33,22 @@ import numpy as np
 from tpu_knn.engine.registry import register_version
 from tpu_knn.utils.shapes import cdiv, round_up
 
-#: Max elements of the materialized (m, n) matrix for v1. 2^30 (4 GiB
-#: of f32) MEASURED working on one 16 GB v5e chip: ds10/ds11
-#: (m=1024, n=2^20) run at 12.2 / 10.4 ms with 0 errors against the
-#: chunked-exact differential (scripts/r16_measure_misc.py section A) —
+#: Max f32 bytes of the materialized (m, n) matrix PLUS both operands
+#: for v1. Calibrated to the measured working maximum on one 16 GB v5e
+#: chip: ds10/ds11 (m=1024, n=2^20, k=16) — a 4 GiB matrix + 64 MiB
+#: operand — run at 12.2 / 10.4 ms with 0 errors against the
+#: chunked-exact differential (scripts/r16_measure_misc.py section A);
 #: the reference's v1 records the same shapes at 384 / 489 ms on a
-#: 32 GB V100 (README.md:284). Beyond 4 GiB the matrix plus its argmin
-#: reduction intermediates crowd the 16 GB HBM; v1 delegates to v2
-#: (streaming carry), which serves every n.
-V1_MAX_MATRIX_ELEMS = 1 << 30
+#: 32 GB V100 (README.md:284). The budget counts operand bytes too
+#: (ADVICE r4: an element-count-only guard admitted k=768 shapes whose
+#: ~3 GiB operand stacks on top of the 4 GiB matrix and its argmin
+#: reduction intermediates). Beyond this, v1 delegates to v2 (streaming
+#: carry), which serves every shape.
+V1_MAX_TOTAL_BYTES = (1 << 32) + (1 << 27)
+
+
+def _v1_guard(k: int, m: int, n: int) -> bool:
+    return 4 * (m * n + n * k + m * k) <= V1_MAX_TOTAL_BYTES
 
 #: n-axis chunk length for the v2 stream.
 V2_CHUNK = 1 << 16
@@ -122,7 +129,7 @@ register_version(
     v1_callback,
     "two-phase XLA: materialized MXU distance matrix + row argmin "
     "(reference v1, core.cu:64-121)",
-    guard=lambda k, m, n: m * n <= V1_MAX_MATRIX_ELEMS,
+    guard=_v1_guard,
     fallback="v2",
 )
 
