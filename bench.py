@@ -762,6 +762,48 @@ def main():
         print(f"# kdtree (3,1024,65536): build {kd_build_ms:.1f} ms, "
               f"query {kd_query_ms:.2f} ms", file=sys.stderr, flush=True)
 
+        # v9 reference-format tree (implicit-heap build + native OpenMP
+        # query): the VERSION_BENCH spatial table's v9 row is GENERATED
+        # from this artifact row (scripts/render_report.py
+        # regen_version_bench — VERDICT r4 item 5: one committed number
+        # per measurement), same median-of-5 protocol as the kdt2 row.
+        from tpu_knn.kdtree.build import build_kdtree as _build_kd
+
+        v9_build = []
+        for _i in range(5):
+            t0 = time.time()
+            v9_tree = _build_kd(rk)
+            v9_build.append((time.time() - t0) * 1e3)
+        v9_build_ms = sorted(v9_build)[2]
+        from tpu_knn import native as _nat9
+
+        iq, _dq = _nat9.kdtree_query(qk, rk, v9_tree.p, v9_tree.dim)
+        v9_q = []
+        for _i in range(5):
+            t0 = time.time()
+            iq, _dq = _nat9.kdtree_query(qk, rk, v9_tree.p, v9_tree.dim)
+            v9_q.append((time.time() - t0) * 1e3)
+        v9_query_ms = sorted(v9_q)[2]
+        v9_errs, v9_tot = check_results(kd_base, np.asarray(iq), qk, rk)
+        details["rows"].append({
+            "name": "v9_reference_tree_3x1024x65536",
+            "build_ms": round(v9_build_ms, 2),
+            "query_ms": round(v9_query_ms, 3),
+            "timing": "median of 5 (host-side, shared CPU)",
+            "backend": "reference-format implicit-heap tree + native "
+                       "OpenMP query",
+            "errors": f"{v9_errs}/{v9_tot}",
+            "gate": "host oracle",
+            "reference": "v9 build 18.7ms query 1.07ms (README.md:334-343)",
+        })
+        if v9_errs:
+            print("CORRECTNESS FAILURE on v9_reference_tree_3x1024x65536",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"# v9 reference tree (3,1024,65536): build "
+              f"{v9_build_ms:.1f} ms, query {v9_query_ms:.2f} ms",
+              file=sys.stderr, flush=True)
+
         # v10 device traversal: committed capability-demo row (VERDICT
         # round 1 item 4). Divergent per-query tree descent is anti-TPU;
         # this row is the evidence for why dispatch and NNIndex never

@@ -266,9 +266,21 @@ def test_sharded_pipeline_exposed():
                                    rtol=1e-6)
 
 
-def test_sharded_int8_save_excluded():
+def test_sharded_int8_save_load_roundtrip(tmp_path):
+    """r5: sharded int8 indexes persist the grid + embed constants +
+    mesh spec and rebind the mesh on load (historically save() rejected
+    the sharded strategy outright — VERDICT r4 item 2)."""
     rng = np.random.default_rng(7)
-    ix = NNIndex(rng.random((1_000, 3), np.float32), store="int8",
-                 strategy="sharded", mesh=default_mesh(dp=1, sp=8))
-    with pytest.raises(ValueError, match="sharded"):
-        ix.save("/tmp/never.npz")
+    r = rng.random((1_000, 3), np.float32)
+    q = rng.random((5, 3), np.float32)
+    ix = NNIndex(r, store="int8", strategy="sharded",
+                 mesh=default_mesh(dp=1, sp=8))
+    p = str(tmp_path / "i8s.npz")
+    ix.save(p)
+    lx = NNIndex.load(p)
+    assert lx.strategy == "sharded" and lx.store == "int8"
+    assert dict(lx.mesh.shape) == {"dp": 1, "sp": 8}
+    np.testing.assert_array_equal(np.asarray(lx.query(q)[0]),
+                                  np.asarray(ix.query(q)[0]))
+    np.testing.assert_allclose(np.asarray(lx.query(q)[1]),
+                               np.asarray(ix.query(q)[1]))

@@ -321,3 +321,238 @@ def test_prepadded_sharded_topk_index():
         # radius queries ride the same prepared top-K path
         ri, rd, rc = ix.query_radius(q, 0.05, 4)
         assert np.asarray(ri).shape == (12, 4)
+
+
+# ---- dynamic serving on the multi-chip tier (VERDICT r4 item 2) -----
+
+
+def _masked_oracle(q, r, dead, kk=None):
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1, dtype=np.float32)
+    d2[:, dead] = np.inf
+    order = np.lexsort((np.tile(np.arange(r.shape[0]), (q.shape[0], 1)),
+                        d2))
+    return order[:, 0] if kk is None else order[:, :kk]
+
+
+def test_sharded_mutable_add_remove():
+    """mutable=True over the mesh: adds and removes are in-place sharded
+    slot updates (global slot g = padded row g), ids are stable, and
+    1-NN / top-K / radius stay exact over the live set."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(40)
+    k, n = 6, 600
+    r = rng.random((n, k), np.float32)
+    q = rng.random((5, k), np.float32)
+    ix = NNIndex(r, strategy="sharded", mesh=default_mesh(dp=2, sp=4),
+                 mutable=True)
+    assert ix.n_live == n
+    ids = ix.add(q[:3])                      # planted: queries win
+    assert ix.n_live == n + 3
+    i1, d1 = ix.query(q[:3])
+    np.testing.assert_array_equal(np.asarray(i1), ids)
+    np.testing.assert_array_equal(np.asarray(d1), np.zeros(3, np.float32))
+    ix.remove(ids)                           # reinstates the originals
+    i1, _ = ix.query(q[:3])
+    np.testing.assert_array_equal(np.asarray(i1),
+                                  _masked_oracle(q[:3], r, []))
+    # remove a spread of original points; top-K + radius over the rest
+    dead = np.asarray([0, 7, 150, 299, 580])
+    ix.remove(dead)
+    assert ix.n_live == n - dead.size
+    ti, td = ix.query(q, neighbors=4)
+    np.testing.assert_array_equal(np.asarray(ti),
+                                  _masked_oracle(q, r, dead, 4))
+    ri, rd, rc = ix.query_radius(q, 0.3)
+    d2 = ((q[:, None, :] - r[None, :, :]) ** 2).sum(-1, dtype=np.float32)
+    d2[:, dead] = np.inf
+    np.testing.assert_array_equal(np.asarray(rc),
+                                  (d2 <= 0.3 ** 2).sum(1))
+
+
+def test_sharded_mutable_growth_preserves_ids():
+    """Adds past capacity re-lay the slot array over the mesh (n_local
+    changes); slot ids are layout-independent and must survive."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(41)
+    k, n = 5, 400
+    r = rng.random((n, k), np.float32)
+    ix = NNIndex(r, strategy="sharded", mesh=default_mesh(dp=1, sp=8),
+                 mutable=True)
+    cap0 = ix.capacity
+    extra = rng.random((cap0 - n + 64, k), np.float32)  # forces growth
+    ids = ix.add(extra)
+    assert ix.capacity > cap0
+    np.testing.assert_array_equal(
+        ids, np.arange(n, n + extra.shape[0], dtype=np.int32))
+    q = rng.random((4, k), np.float32)
+    allpts = np.concatenate([r, extra])
+    i1, _ = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(i1),
+                                  _masked_oracle(q, allpts, []))
+    # a pre-growth id still removes the right point
+    ix.remove([3])
+    i1, _ = ix.query(q)
+    np.testing.assert_array_equal(np.asarray(i1),
+                                  _masked_oracle(q, allpts, [3]))
+
+
+def test_sharded_mutable_compact_and_bf16():
+    """compact() re-lays the live rows (ids change, mapping returned);
+    store='bf16' composes — adds quantize at the update site."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(42)
+    k, n = 4, 300
+    r = rng.random((n, k), np.float32)
+    q = rng.random((3, k), np.float32)
+    ix = NNIndex(r, strategy="sharded", mesh=default_mesh(dp=2, sp=4),
+                 mutable=True, store="bf16")
+    import ml_dtypes
+
+    rq = r.astype(ml_dtypes.bfloat16).astype(np.float32)
+    dead = [5, 50, 250]
+    ix.remove(dead)
+    mapping = ix.compact()
+    assert ix.n_live == n - len(dead)
+    assert all(mapping[d] == -1 for d in dead)
+    live_ids = np.nonzero(mapping >= 0)[0]
+    i1, _ = ix.query(q)
+    # compacted ids index the surviving quantized points in order
+    want_old = _masked_oracle(q, rq, dead)
+    np.testing.assert_array_equal(np.asarray(i1), mapping[want_old])
+    ids = ix.add(q[:1])
+    i1, d1 = ix.query(q[:1])
+    assert int(np.asarray(i1)[0]) == int(ids[0])
+    assert float(np.asarray(d1)[0]) <= 4 * (2.0 ** -9) ** 2  # bf16 quant
+
+
+def test_sharded_filtered_view():
+    """filtered_view over the mesh: masked per-shard operands, original
+    positions reported, parent untouched; bf16 store composes."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(43)
+    k, n = 6, 3000                      # ragged over 8 shards
+    r = rng.random((n, k), np.float32)
+    q = rng.random((6, k), np.float32)
+    for store in ("float32", "bf16"):
+        ix = NNIndex(r, strategy="sharded",
+                     mesh=default_mesh(dp=1, sp=8), store=store)
+        keep = rng.random(n) < 0.4
+        view = ix.filtered_view(keep)
+        assert view.n_live == int(keep.sum())
+        if store == "bf16":
+            import ml_dtypes
+
+            rs = r.astype(ml_dtypes.bfloat16).astype(np.float32)
+        else:
+            rs = r
+        dead = np.nonzero(~keep)[0]
+        iv, dv = view.query(q)
+        np.testing.assert_array_equal(np.asarray(iv),
+                                      _masked_oracle(q, rs, dead))
+        tv, _ = view.query(q, neighbors=5)
+        np.testing.assert_array_equal(np.asarray(tv),
+                                      _masked_oracle(q, rs, dead, 5))
+        # parent still serves the full set
+        ip, _ = ix.query(q)
+        np.testing.assert_array_equal(np.asarray(ip),
+                                      _masked_oracle(q, rs, []))
+        # views are ephemeral
+        with pytest.raises(ValueError, match="ephemeral"):
+            view.save("/tmp/view_should_fail.npz")
+
+
+def test_sharded_save_load_roundtrip(tmp_path):
+    """Sharded save/load: payload + mesh spec persist; load rebinds the
+    mesh (saved spec honored — this process has 8 devices) and results
+    are identical. f32, bf16 (bit-exact quantized points), int8 grid,
+    and a mutable index with removals all round-trip."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(44)
+    k, n = 5, 900
+    r = rng.random((n, k), np.float32)
+    q = rng.random((4, k), np.float32)
+    mesh = default_mesh(dp=2, sp=4)
+
+    # f32 static
+    ix = NNIndex(r, strategy="sharded", mesh=mesh)
+    p = str(tmp_path / "s_f32.npz")
+    ix.save(p)
+    lx = NNIndex.load(p)
+    assert lx.strategy == "sharded" and dict(lx.mesh.shape) == {"dp": 2,
+                                                                "sp": 4}
+    np.testing.assert_array_equal(np.asarray(lx.query(q)[0]),
+                                  np.asarray(ix.query(q)[0]))
+    # explicit mesh override
+    lx2 = NNIndex.load(p, mesh=default_mesh(dp=1, sp=8))
+    assert dict(lx2.mesh.shape) == {"dp": 1, "sp": 8}
+    np.testing.assert_array_equal(np.asarray(lx2.query(q)[0]),
+                                  np.asarray(ix.query(q)[0]))
+
+    # bf16 static: stored points bit-identical through the round trip
+    ixb = NNIndex(r, strategy="sharded", mesh=mesh, store="bf16")
+    pb = str(tmp_path / "s_bf16.npz")
+    ixb.save(pb)
+    lb = NNIndex.load(pb)
+    np.testing.assert_array_equal(
+        np.asarray(lb.r_sharded).view(np.uint16),
+        np.asarray(ixb.r_sharded).view(np.uint16))
+    np.testing.assert_array_equal(np.asarray(lb.query(q)[0]),
+                                  np.asarray(ixb.query(q)[0]))
+
+    # int8 grid: embed constants persist; sharded strategy restored
+    ixq = NNIndex(r, strategy="sharded", mesh=mesh, store="int8")
+    pq = str(tmp_path / "s_int8.npz")
+    ixq.save(pq)
+    lq = NNIndex.load(pq)
+    assert lq.strategy == "sharded" and lq.store == "int8"
+    np.testing.assert_array_equal(np.asarray(lq.query(q)[0]),
+                                  np.asarray(ixq.query(q)[0]))
+    np.testing.assert_allclose(np.asarray(lq.query(q)[1]),
+                               np.asarray(ixq.query(q)[1]))
+
+    # mutable with removals: ids survive
+    ixm = NNIndex(r, strategy="sharded", mesh=mesh, mutable=True)
+    ids = ixm.add(q[:2])
+    ixm.remove([10, 20])
+    pm = str(tmp_path / "s_mut.npz")
+    ixm.save(pm)
+    lm = NNIndex.load(pm)
+    assert lm.mutable and lm.n_live == ixm.n_live
+    np.testing.assert_array_equal(np.asarray(lm.query(q)[0]),
+                                  np.asarray(ixm.query(q)[0]))
+    i1, d1 = lm.query(q[:2])
+    np.testing.assert_array_equal(np.asarray(i1), ids)
+    np.testing.assert_array_equal(np.asarray(d1), np.zeros(2, np.float32))
+
+
+def test_sharded_metric_dynamic_composition():
+    """cosine metric composes with the sharded dynamic features: a
+    mutable cosine index takes transformed adds; a filtered cosine view
+    masks; save/load round-trips the transformed points."""
+    from tpu_knn.engine.index import NNIndex
+
+    rng = np.random.default_rng(45)
+    k, n = 4, 500
+    r = (rng.random((n, k), np.float32) - 0.3) * 2 + 0.01
+    q = (rng.random((3, k), np.float32) - 0.3) * 2 + 0.01
+    mesh = default_mesh(dp=1, sp=8)
+    ix = NNIndex(r, strategy="sharded", mesh=mesh, metric="cosine",
+                 mutable=True)
+    ids = ix.add(q[:1] * 7.0)            # same direction, bigger norm
+    i1, sim = ix.query(q[:1])
+    assert int(np.asarray(i1)[0]) == int(ids[0])
+    assert float(np.asarray(sim)[0]) >= 1.0 - 1e-6
+    # filtered view on a static cosine sharded index
+    ixs = NNIndex(r, strategy="sharded", mesh=mesh, metric="cosine")
+    keep = rng.random(n) < 0.5
+    view = ixs.filtered_view(keep)
+    rn = r / np.sqrt((r * r).sum(1))[:, None]
+    qn = q / np.sqrt((q * q).sum(1))[:, None]
+    iv, _ = view.query(q)
+    np.testing.assert_array_equal(
+        np.asarray(iv), _masked_oracle(qn, rn, np.nonzero(~keep)[0]))
