@@ -72,7 +72,8 @@ def multislice_mesh(dcn: int, dp: int = 1, sp: int | None = None) -> Mesh:
 @functools.lru_cache(maxsize=None)
 def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
                    method: str = "pmin", tile_n: int | None = None,
-                   prepadded: bool = False):
+                   prepadded: bool = False,
+                   precision: str | None = None):
     """prepadded: the reference array arrives already padded to
     (num_shards * n_local, k) with PAD_VALUE and sharded over the
     reference axes (NNIndex's prepared path) — no per-call host pad.
@@ -91,8 +92,11 @@ def _build_sharded(m: int, n: int, k: int, mesh: Mesh,
     from tpu_knn.kernels.fused import auto_precision
 
     # Precision from the GLOBAL n (the gate's tightness is global); wide
-    # tiles whenever the packed dot applies, matching fused_knn.
-    precision = auto_precision(k, n)
+    # tiles whenever the packed dot applies, matching fused_knn. The
+    # caller overrides for quantized stores (qsplit2 over bf16-exact
+    # shard operands — NNIndex passes its upgraded tier).
+    if precision is None:
+        precision = auto_precision(k, n)
     tile_m, auto_tile_n = pick_tiles(k, m_local, cdiv(n, num_shards),
                                      wide=precision == "packed")
     tile_n = tile_n or auto_tile_n
@@ -158,7 +162,8 @@ def sharded_layout(n: int, k: int, mesh: Mesh, m_hint: int = 1024):
 def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
                         topk_method: str = "auto",
                         n_local: int | None = None,
-                        prepadded: bool = False):
+                        prepadded: bool = False,
+                        precision: str | None = None):
     """Mesh-sharded exact top-K: per-shard single-chip top-K engine
     (kernels/topk.py — the sweep/seeded/banded engine by its own m*K
     rule), global index rebase, then a top-K merge allreduce
@@ -187,7 +192,8 @@ def _build_sharded_topk(m: int, n: int, k: int, kk: int, mesh: Mesh,
     num_shards = dcn * sp
     m_pad = round_up(m, dp * 8)
     m_local = m_pad // dp
-    precision = auto_precision(k, n)
+    if precision is None:
+        precision = auto_precision(k, n)
     method = (_auto_method(m_local, kk)
               if topk_method == "auto" else topk_method)
     if n_local is None:
@@ -358,6 +364,8 @@ def _build_sharded_int8(m: int, n: int, k: int, n_local: int, mesh: Mesh,
         scan = _build_aos_scan(m_local, n_local, k, masked=True)
     else:
         precision = auto_precision(k, n)
+        if precision == "bf16x3":
+            precision = "qsplit2"   # the upcast grid is bf16-exact
         tile_m, tile_n = pick_tiles(k, m_local, n_local,
                                     wide=precision == "packed")
         tile_n = min(tile_n, n_local)
@@ -438,6 +446,8 @@ def _build_sharded_int8_topk(m: int, n: int, k: int, kk: int,
                                     masked=True)
     else:
         precision = auto_precision(k, n)
+        if precision == "bf16x3":
+            precision = "qsplit2"   # the upcast grid is bf16-exact
         local_run = _build_topk(m_local, n_local, k, kk_local, n_local,
                                 precision, _auto_method(m_local, kk_local))
 

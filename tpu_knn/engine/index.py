@@ -271,6 +271,13 @@ class NNIndex:
             from tpu_knn.kernels.fused import auto_precision
 
             precision = auto_precision(self.k, max(self.n, capacity or 0))
+            if store in ("bf16", "int8") and precision == "bf16x3":
+                # Quantized stores hold EXACTLY-bf16 operands (bf16
+                # points / grid integers): the 2-pass q-split tier keeps
+                # the bf16x3 certification at 2/3 the MXU time and half
+                # the operand reads (fused.py:_qr_dot "qsplit2" —
+                # VERDICT r4 item 1, the embedding-scale regime).
+                precision = "qsplit2"
         else:
             from tpu_knn.kernels.fused import _check_precision_certified
 
@@ -675,6 +682,8 @@ class NNIndex:
             from tpu_knn.kernels.fused import auto_precision
 
             precision = auto_precision(grid.shape[1], grid.shape[0])
+            if precision == "bf16x3":
+                precision = "qsplit2"   # grid integers are bf16-exact
         return cls._from_int8_grid(grid, zero,
                                    np.float32(1.0 / np.float64(scale)),
                                    precision, mesh=mesh, strategy=strategy)
@@ -1440,7 +1449,8 @@ class NNIndex:
             from tpu_knn.distributed.sharded import _build_sharded
 
             run = _build_sharded(m, self._n_eff, self.k, self.mesh,
-                                 tile_n=self.tile_n, prepadded=True)
+                                 tile_n=self.tile_n, prepadded=True,
+                                 precision=self.precision)
             return run, (self.r_sharded,)
         if self.strategy not in ("fused", "auto"):
             raise ValueError(
@@ -1593,7 +1603,8 @@ class NNIndex:
 
             run = _build_sharded_topk(mb, self._n_eff, self.k, neighbors,
                                       self.mesh, n_local=self._n_local,
-                                      prepadded=True)
+                                      prepadded=True,
+                                      precision=self.precision)
             idx, d2 = run(search, self.r_sharded, self.r_ops_sharded)
             return idx[:m], d2[:m]
         from tpu_knn.kernels.smallm import SMALLM_MAX_M
@@ -1771,5 +1782,6 @@ class NNIndex:
         from tpu_knn.distributed.sharded import _build_sharded
 
         run = _build_sharded(m, self._n_eff, self.k, self.mesh,
-                             tile_n=self.tile_n, prepadded=True)
+                             tile_n=self.tile_n, prepadded=True,
+                             precision=self.precision)
         return run(search, self.r_sharded)

@@ -142,6 +142,26 @@ def _qr_dot(q_tile, r_tile, precision: str):
         return jax.lax.dot_general(
             q_tile.astype(jnp.bfloat16), r_tile.astype(jnp.bfloat16),
             dimension_numbers=dims, preferred_element_type=jnp.float32)
+    if precision == "qsplit2":
+        # Quantized-store tier (NNIndex store="bf16"/"int8"): the stored
+        # operand is EXACTLY representable in bf16 (bf16 points / grid
+        # integers <= 127), so the bf16x3 ladder's r-side split is dead
+        # weight (r_lo = 0 identically). Two MXU passes (q_hi·r + q_lo·r)
+        # carry the SAME error term as bf16x3 — only q's 2-split
+        # truncation, ~2^-17 relative — at 2/3 the MXU time, and the
+        # operand stays bf16 in HBM (half the reads). UNSOUND for f32
+        # operands (the downcast would silently lose 2^-8 of r):
+        # fused_knn rejects it at the public entry; NNIndex selects it
+        # only for bf16-exact stores (VERDICT r4 item 1).
+        q_hi, q_lo = _split_bf16(q_tile)
+        r_bf = r_tile.astype(jnp.bfloat16)
+
+        def d2p(a):
+            return jax.lax.dot_general(
+                a, r_bf, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+
+        return d2p(q_hi) + d2p(q_lo)
     if precision == "packed":
         n_splits, pairs = _packed_terms(q_tile.shape[1])
         if n_splits:
@@ -815,6 +835,9 @@ _TIER_EPS = {
     "packed3": 2.0 ** -26, "packed2": 2.0 ** -17,
     "bf16x3": 2.0 ** -17, "bf16x3_presplit": 2.0 ** -17,
     "bf16x4": 2.0 ** -17, "highest": 2.0 ** -24, "default": 2.0 ** -8,
+    # q 2-split over an exactly-bf16 operand: the same single dropped
+    # term as bf16x3's ladder (q's truncation), no r-side loss.
+    "qsplit2": 2.0 ** -17,
 }
 
 
@@ -899,6 +922,14 @@ def _check_precision_certified(precision, allow_approximate: bool):
             "gate errors at k=768 — docs/SERVING.md). Pass "
             "allow_approximate=True to accept results outside the ±1e-3 "
             "contract.")
+    if precision == "qsplit2":
+        # Certified ONLY over operands that are exactly bf16 (quantized
+        # stores); per-call f32 references would silently lose 2^-8 of
+        # r in the downcast.
+        raise ValueError(
+            "precision='qsplit2' is the quantized-store tier (requires a "
+            "bf16-exact operand); NNIndex(store='bf16'/'int8') selects "
+            "it automatically — it cannot serve per-call f32 references")
 
 
 def fused_knn(search, ref, *, soa: bool = True,
