@@ -683,12 +683,21 @@ def _build_minima_candidates(m: int, n: int, k: int,
                              tile_m: int, tile_n: int,
                              precision: str = DEFAULT_PRECISION,
                              n_ops: int | None = None,
-                             banded: bool = False, depth: int = 1):
+                             banded: bool = False, depth: int = 1,
+                             n_limit: int | None = None):
     """(search (m,k), SoA ref[, lo (m,1)]) -> (m, 128) f32 per-lane score
     minima (no indices) — see _fused_minima_kernel. Same score arithmetic
     and prepadded-operand protocol as _build_banded_candidates, so bounds
     derived here compare bit-exactly against the extraction kernel's
-    scores."""
+    scores.
+
+    ``n_limit`` (r5, VERDICT r4 item 3): fold only the first n_limit
+    columns of the (full-width) operand — the grid simply covers fewer
+    tiles, so the pass READS only the prefix. The K-th smallest per-lane
+    minimum over any SUBSET of the reference is still a valid upper
+    bound on the global K-th score (a subset's K-th smallest >= the full
+    set's), so bound passes can trade read volume for bound tightness
+    (the caller must size its qualifier capacity for the looser bound)."""
     if tile_n % 128 != 0 or tile_m % 8 != 0:
         raise ValueError("tile_n % 128 == 0 and tile_m % 8 == 0 required")
     k_pad = round_up(k, 8)
@@ -699,6 +708,12 @@ def _build_minima_candidates(m: int, n: int, k: int,
                          f"n={n}, tile_n={tile_n}")
     m_tiles = m_pad // tile_m
     n_tiles = n_pad // tile_n
+    if n_limit is not None:
+        if n_limit % tile_n != 0 or not 0 < n_limit <= n_pad:
+            raise ValueError(f"n_limit={n_limit} must be a multiple of "
+                             f"tile_n={tile_n} within the operand")
+        n = min(n, n_limit)   # mask within the prefix only
+        n_tiles = n_limit // tile_n
     scalar_spec = pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM)
     ow = 128 * depth

@@ -454,6 +454,16 @@ def _extract_mode(tile_n: int, kk: int) -> tuple[int, int]:
         return 64, _EXTRACT_FIELDS_CUBIC
     if kk > 32:
         return 128, _EXTRACT_FIELDS_CUBIC
+    if kk <= 16 and tile_n <= 2048 and tile_n % 64 == 0:
+        # Embedding-scale k (the narrow tile_n is the VMEM budget's
+        # signature for k > 32): a 3-qualifier cell costs a whole-cell
+        # expansion into the exact rerank, and at wide k each expanded
+        # column gathers k floats — 64-lane cells cut the overflow
+        # probability 64x AND the expansion width 4x (the r5 prefix
+        # bound's ~2x census made 256-lane overflow a per-batch coin
+        # flip: ~6 ms of expanded rerank at k=128, r21/k128_amp probes).
+        # The packed layout only relaxes (e1 <= 189, p2 <= 11907).
+        return 64, _EXTRACT_FIELDS
     if tile_n % 256 == 0:
         return 256, (_EXTRACT_FIELDS if kk <= 16 else
                      _EXTRACT_FIELDS_CUBIC)
@@ -971,8 +981,12 @@ def _build_cell_compactor(m: int, nc: int, parts: int, cap: int, nf: int,
         # needs the full part width resident, and (tile_m, cw) i32
         # temporaries (~nf + 4 live) must fit scoped VMEM.
         cw = pw_pad
+        # cap > 128 widens out_w to 256 and the kept-slot state with it:
+        # at cw=8192 that measured 44 KB OVER the 16 MB scoped-VMEM
+        # limit (K=128 escalation tier, nc=16384) — halve tile_m there.
         tile_m = min(tile_m,
-                     128 if cw <= 2048 else 64 if cw <= 4096 else 32)
+                     128 if cw <= 2048 else 64 if cw <= 4096 else
+                     (32 if cap <= 128 else 16))
         tile_m = max(8, tile_m)
         w_tiles = 1
     else:
@@ -1654,13 +1668,18 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # count whose moment columns divide or are divisible by 128;
         # pick the widest 128 * 2^p tile dividing the operand width
         # (128 always does).
-        tile_m = min(EXTRACT_TILE_M_CUBIC if kk > 32 else
-                     EXTRACT_TILE_M, round_up(m, 8))
         max_tile_n = (EXTRACT_TILE_N_QUAD if kk <= 16 else
                       EXTRACT_TILE_N_OCT if kk <= 32 else
                       EXTRACT_TILE_N_CUBIC if kk <= 64 else
                       EXTRACT_TILE_N_HEX)
         tile_n = _extract_tile_n(n_ops, max_tile_n, k)
+        # Quad tile_m: 256 was tuned at the k=16 (tile_n=8192) geometry
+        # (512x8192 crashes the Mosaic compile); at embedding-scale k
+        # the VMEM budget already shrinks tile_n <= 2048, where 512 rows
+        # fit comfortably AND halve the extraction's operand re-reads
+        # (m_tiles 4 -> 2 at m=1024 — the reads are ~6 GB/call at k=768).
+        tile_m = min(EXTRACT_TILE_M_CUBIC if (kk > 32 or tile_n <= 2048)
+                     else EXTRACT_TILE_M, round_up(m, 8))
         extract = _build_extract_candidates(m, n, k, tile_m, tile_n,
                                             precision, n_ops=n_ops, kk=kk)
         # Pass 1 (the bound): the VALUE-ONLY per-lane minima fold — the
@@ -1673,9 +1692,28 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         p1_tile_n = min(p1_tile_n, n_ops)
         while n_ops % p1_tile_n != 0:
             p1_tile_n -= 128
+        # PREFIX-HALF bound pass (r5, VERDICT r4 items 3+4): the K-th
+        # smallest per-lane minimum over any SUBSET of the reference is
+        # still a valid upper bound on the global K-th score (a subset's
+        # K-th smallest >= the full set's), so the quadratic path's
+        # pass 1 reads only the first half of the operand — measured
+        # 1.60 -> 0.84 ms at (16,1024,2^20) and ~half the k=128/768
+        # bound-pass matmul (scripts/r23_topk_decomp.py). The looser
+        # bound ~doubles the qualifier census (mean 17 -> 34, max 58 at
+        # K=16), so the capacity ladder below scales to 4K+16 and the
+        # escalating compaction absorbs the spread. K > 16 keeps the
+        # full pass: the cubic/single-band paths' capacity is already
+        # near the 256-slot compactor ceiling.
+        p1_limit = None
+        P1_FRAC = 2
+        if kk <= 16 and n_ops >= (1 << 16):
+            part = (n_ops // P1_FRAC) // p1_tile_n * p1_tile_n
+            if part >= p1_tile_n and min(n, part) >= 1024:
+                p1_limit = part
         pass1 = _build_minima_candidates(m, n, k, p1_tile_m, p1_tile_n,
                                          precision, n_ops=n_ops,
-                                         depth=2 if kk > 64 else 1)
+                                         depth=2 if kk > 64 else 1,
+                                         n_limit=p1_limit)
         # The certified fallback: exact for ANY qualifier distribution.
         fallback_run = _build_topk(m, n, k, kk, n_ops, precision, "passes")
         cell = extract.cell
@@ -1695,13 +1733,23 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # (cap_full == cap_fast) and K = 32 escalates only on qualifier
         # spikes past 48; only overflow PAST
         # cap_full routes to the fallback (the cap term of `certified`).
-        cap_full = min(nc, 2 * kk + 16, 256)
+        cap_full = min(nc,
+                       (2 * P1_FRAC * kk + 16) if p1_limit
+                       else (2 * kk + 16), 256)
         # The butterfly compactor's cost is cap-independent (cap only
         # sets the kept-slot slice), so the K > 64 single band affords a
         # generous per-part cap: ~2K+16 qualifiers spread over 8 parts
         # (mean ~34/part at K=128) need 96 to keep part spikes off the
         # escalation path.
-        cap_fast = min(cap_full, 96 if kk > 64 else 48)
+        # Prefix-half bound (kk <= 16): the census lands at ~2K-4K on
+        # EVERY large batch (mean 34, max 58 at K=16 over 1024 rows —
+        # r23), so a two-tier 48-then-80 escalation would take the
+        # escalated branch nearly always and pay recover+rerank TWICE
+        # (measured 6.14 vs 5.05 ms end-to-end): run ONE tier at the
+        # full 4K+16 capacity instead (the positional compactor's slot
+        # loop grows only ~0.13 ms from 48 -> 80).
+        cap_fast = cap_full if p1_limit else min(cap_full,
+                                                 96 if kk > 64 else 48)
         # K > 32 needs more capacity than one narrow compaction can give
         # (2K+16 = 144 at K=64, qualifiers up to ~110/row): split the
         # cell axis into 4 parts with per-part cap 48 — total capacity
@@ -1726,11 +1774,43 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
             # The kernel emits the packed payloads directly
             # (bit 30 = cnt-overflow certificate; + p3 for cubic).
             moms = extract(search, r_ops, bound)           # (m, nc) each
-            a_pack = moms[0]
+            a_pack_raw = moms[0]
+            # Overflow cells (cnt > solvable, bit 30) are EXPANDED, not
+            # fatal (r5): a cell the root solver cannot recover simply
+            # contributes its WHOLE ``cell`` columns to the exact rerank
+            # (conditional — the wide gather compiles but only runs on
+            # overflow batches). Historically one overflowed cell
+            # anywhere sent the entire batch to the ~10-25x passes
+            # fallback; with the prefix-half bound's ~2x census that
+            # P(cell cnt > 2) coin-flip fired on ~40% of 1024-row
+            # batches (measured: k=128 top-16 98 ms vs the engine's
+            # 13.2 — scripts/r21_quantized_embed.py vs the cert probe).
+            # E = 1 overflow cell per row is expanded; >1 (P ~ 1e-4 per
+            # batch) still falls back. Overflow cells are masked OUT of
+            # the solver fields (their packed moments wrap — the solver
+            # would emit garbage and fail rec_ok) and credit
+            # solvable + 1 candidates (cnt > solvable means at least
+            # that many) toward the count certificate.
+            ov = (a_pack_raw >> 30) & 1                    # (m, nc) 0/1
+            ov_rows = jnp.sum(ov, axis=1)
+            a_pack = jnp.where(ov != 0, 0, a_pack_raw)
             p3m = moms[1] if solvable == 3 else None
-            cnt_ok = jnp.max(a_pack) < (1 << 30)
-            counted = jnp.sum(jnp.minimum(a_pack & 3, solvable), axis=1)
+            if p3m is not None:
+                p3m = jnp.where(ov != 0, 0, p3m)
+            cnt_ok = jnp.all(ov_rows <= 1)
+            counted = (jnp.sum(jnp.minimum(a_pack & 3, solvable), axis=1)
+                       + ov_rows * (solvable + 1))
             qual = a_pack != 0
+            # Per-row overflow-cell id: with E = 1 the first set marker
+            # IS the cell (argmax returns the first maximum).
+            ov_cellpos = jnp.argmax(ov, axis=1).astype(jnp.int32)[:, None]
+            has_ov = ov_rows[:, None] > 0                   # (m, 1)
+            any_ov = jnp.any(has_ov)
+            ov_cols = jnp.where(
+                has_ov,
+                ov_cellpos * cell
+                + jax.lax.broadcasted_iota(jnp.int32, (m, cell), 1),
+                n)                                          # n = sentinel
             # Compact the qualifying cells (escalating capacity; see the
             # cap comment above) with the Pallas positional compactor
             # (_cell_compact_kernel). The moment payloads ride along as
@@ -1769,7 +1849,18 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                     else:
                         cols, okc = _compact_cols(cols, n)
                     rec_ok = rec_ok & okc
-                idx_k, d2_k = _exact_rerank(search, ref_aos, cols, kk, n)
+
+                def rr_plain(_):
+                    return _exact_rerank(search, ref_aos, cols, kk, n)
+
+                def rr_expanded(_):
+                    # Overflow batches append each row's expanded
+                    # overflow-cell columns (n sentinels elsewhere).
+                    wide = jnp.concatenate([cols, ov_cols], axis=1)
+                    return _exact_rerank(search, ref_aos, wide, kk, n)
+
+                idx_k, d2_k = jax.lax.cond(any_ov, rr_expanded, rr_plain,
+                                           None)
                 return idx_k, d2_k, rec_ok
 
             # Certification: every qualifier was recovered iff no cell
@@ -1807,15 +1898,21 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
                 # downstream _compact_cols(parts=2).
                 esc_parts = (2 if kk > 64 and nc % 2 == 0
                              and (nc // 2) % 128 == 0 else 1)
+                # Per-part cap 192 at parts=2 (2x192 = 384 capacity vs
+                # the ~2K+16 = 272 typical census): cap 256 with the
+                # (m, nc/2) part slices measured 12 KB OVER the 16 MB
+                # scoped-VMEM limit at nc=16384 (K=128, n=2^20 — the
+                # r17 anchor run); 192 fits with the same certificate.
+                esc_cap = min(cap_full, 192) if esc_parts > 1 else cap_full
 
                 def escalate(_):
-                    idx_s, d2_s, rec_ok_s = recover(cap_full, esc_parts)
+                    idx_s, d2_s, rec_ok_s = recover(esc_cap, esc_parts)
                     if esc_parts > 1:
                         pq = jnp.sum(
                             qual.reshape(m, esc_parts, nc // esc_parts),
                             axis=2)
                         full_fits = jnp.all(
-                            pq <= min(cap_full, nc // esc_parts))
+                            pq <= min(esc_cap, nc // esc_parts))
                     else:
                         full_fits = jnp.all(qual_rows <= cap_full)
                     cert_full = cert_common & rec_ok_s & full_fits
