@@ -712,6 +712,77 @@ def main():
                   f"routed={routed} errors {errors16}/{total16}",
                   file=sys.stderr, flush=True)
 
+        # Spatial pruning at the reference v10's BATCH niche
+        # (3, 1024, 65536) — the committed negative (VERDICT r4 item
+        # 6): a certified window at k=3, n=65536 covers ~10% of the
+        # set PER QUERY (auto_window thins as n^(1/k)), so m=1024
+        # windows read ~100x one shared full scan; this row measures
+        # the forced window route's LOSS against the fused scan's ds6
+        # row (0.216 ms, itself 2x the reference v10's 0.433 ms win).
+        # The cost model (projection_wins) routes the shape to fused —
+        # tests/test_projection.py pins it.
+        if extras:
+          try:
+            ksb, msb, nsb = 3, 1024, 65536
+            qsb = jax.random.uniform(jax.random.fold_in(key, 77),
+                                     (msb, ksb), jnp.float32)
+            rsb = jax.random.uniform(jax.random.fold_in(key, 78),
+                                     (nsb, ksb), jnp.float32)
+            from tpu_knn.kernels.projection import (
+                _build_projection_pipeline as _bpp,
+                auto_window as _aw, build_projection_index as _bpi,
+            )
+
+            proj_sb = jax.block_until_ready(_bpi(rsb))
+            run_sb = _bpp(msb, nsb, ksb, _aw(ksb, nsb))
+
+            def sb_step(i, c, q, rsb, proj):
+                eps = i.astype(jnp.float32) * 1e-9
+                ia, da, ok = run_sb(q + eps, rsb, *proj)
+                return _consume(c, ia, da, ok.astype(jnp.float32))
+
+            sb_ms, sb_it = calibrated_amplified_ms(sb_step, qsb, rsb,
+                                                   proj_sb,
+                                                   max_iters=64)
+            ia_sb, _d, _ok = run_sb(qsb, rsb, *proj_sb)
+            errs_sb, tot_sb = device_gate_vs_v2(qsb, rsb, ia_sb,
+                                                chunk_cap=1 << 16)
+            details["rows"].append({
+                "name": "spatial_batch_3x1024x65536_forced_v11",
+                "ms": round(sb_ms, 3),
+                "timing": f"amplified x{sb_it}",
+                "errors": f"{errs_sb}/{tot_sb}",
+                "gate": "on-device v2 differential",
+                "note": "FORCED projection windows at batch m=1024 — "
+                        "the committed negative: the cost model routes "
+                        "this shape to the fused scan (ds6 row, ~0.216 "
+                        "ms); window reads are ~100x one shared scan",
+            })
+            if errs_sb:
+                print("CORRECTNESS FAILURE on spatial_batch negative",
+                      file=sys.stderr)
+                sys.exit(1)
+            print(f"# spatial batch negative (3,1024,65536): forced "
+                  f"v11 {sb_ms:.3f} ms vs fused ds6, errors "
+                  f"{errs_sb}/{tot_sb}", file=sys.stderr, flush=True)
+            del qsb, rsb, proj_sb, run_sb
+          except Exception as e:  # noqa: BLE001
+            # A forced out-of-niche geometry may not even compile at
+            # m=1024 windows — itself a valid form of the committed
+            # negative; never let it kill the gated rows.
+            details["rows"].append({
+                "name": "spatial_batch_3x1024x65536_forced_v11",
+                "failed": f"{type(e).__name__}: {str(e)[:200]}",
+                "note": "FORCED projection windows at batch m=1024 "
+                        "did not run — the committed negative stands "
+                        "on the cost model (window reads ~100x one "
+                        "shared scan); the fused ds6 row serves the "
+                        "shape",
+            })
+            print(f"# spatial batch negative: forced v11 failed "
+                  f"({type(e).__name__}) — negative stands on the "
+                  "cost model", file=sys.stderr, flush=True)
+
         # KD-tree build/query split (reference README.md:334-343).
         kq = jax.random.fold_in(key, 101)
         rk = np.asarray(jax.random.uniform(jax.random.fold_in(kq, 2),
@@ -1044,49 +1115,74 @@ def main():
             del ixs, runs, opss
         del qb, rb
 
-        # Embedding-scale batch regime (k=128 / k=768 at m=1024).
+        # Embedding-scale batch regime (k=128 / k=768 at m=1024),
+        # per storage tier (VERDICT r4 item 1: bf16/int8 at the k where
+        # memory matters most — qsplit2 runs 2 MXU passes over the
+        # bf16-exact operand where f32 needs bf16x3's 3).
         for k_e in (128, 768):
             kqe = jax.random.fold_in(key, 1000 + k_e)
             qe = jax.random.uniform(jax.random.fold_in(kqe, 1),
                                     (1024, k_e), jnp.float32)
             re = jax.random.uniform(jax.random.fold_in(kqe, 2),
                                     (1 << 20, k_e), jnp.float32)
-            ixe = _NNIdx(re)
-            rune, opse = ixe.pipeline(1024)
+            for store in ("float32", "bf16", "int8"):
+                ixe = _NNIdx(re, store=store)
+                rune, opse = ixe.pipeline(1024)
 
-            def em_step(i, c, q, ops, rune=rune):
-                eps = i.astype(jnp.float32) * 1e-9
-                ia, da = rune(q + eps, *ops)
-                return _consume(c, da, ia)
+                def em_step(i, c, q, ops, rune=rune):
+                    eps = i.astype(jnp.float32) * 1e-9
+                    ia, da = rune(q + eps, *ops)
+                    return _consume(c, da, ia)
 
-            mse, iterse = calibrated_amplified_ms(em_step, qe, opse,
-                                                  max_iters=256)
-            iae, _dae = rune(qe, *opse)
-            errse, tote = device_gate_vs_v2(qe, re, iae,
-                                            chunk_cap=1 << 16)
-            tk_e = steady_query_ms(ixe, qe, 16, warm=8, reps=10)
-            mxu_floor = 2 * 1024 * (1 << 20) * k_e * 3 / 197e9
-            details["rows"].append({
-                "name": f"embed_batch_1024x2^20_k{k_e}",
-                "k": k_e, "m": 1024, "n": 1 << 20, "ms": round(mse, 3),
-                "timing": f"amplified x{iterse}",
-                "topk16_eager_ms": round(tk_e, 3),
-                "bf16x3_mxu_floor_ms": round(mxu_floor, 1),
-                "errors": f"{errse}/{tote}",
-                "gate": "on-device v2 differential (2^16 chunks)",
-                "note": "embedding-scale batch 1-NN through the "
-                        "prepared pipeline (precision "
-                        f"{ixe.precision}); routing rationale in "
-                        "docs/SERVING.md",
-            })
-            if errse:
-                print(f"CORRECTNESS FAILURE on embed k={k_e}",
-                      file=sys.stderr)
-                sys.exit(1)
-            print(f"# embed k={k_e}: 1-NN {mse:.3f} ms (floor "
-                  f"{mxu_floor:.1f}), top-16 {tk_e:.3f} ms/call, "
-                  f"errors {errse}/{tote}", file=sys.stderr, flush=True)
-            del ixe, rune, opse, qe, re
+                mse, iterse = calibrated_amplified_ms(em_step, qe, opse,
+                                                      max_iters=256)
+                iae, _dae = rune(qe, *opse)
+                # Gates compare against the STORED points (exactness is
+                # over the quantized set by contract); int8 gates in
+                # grid space (monotone rescale).
+                if store == "int8":
+                    qg = (qe - ixe._i8_zero_dev) * ixe._i8_inv_s
+                    errse, tote = device_gate_vs_v2(
+                        qg, ixe.ref_dev.astype(jnp.float32), iae,
+                        chunk_cap=1 << 16)
+                elif store == "bf16":
+                    errse, tote = device_gate_vs_v2(
+                        qe, ixe.ref_dev.astype(jnp.float32), iae,
+                        chunk_cap=1 << 16)
+                else:
+                    errse, tote = device_gate_vs_v2(qe, re, iae,
+                                                    chunk_cap=1 << 16)
+                tk_e = steady_query_ms(ixe, qe, 16, warm=8, reps=10)
+                passes = 2 if ixe.precision == "qsplit2" else 3
+                mxu_floor = 2 * 1024 * (1 << 20) * k_e * passes / 197e9
+                suffix = "" if store == "float32" else f"_{store}"
+                details["rows"].append({
+                    "name": f"embed_batch_1024x2^20_k{k_e}{suffix}",
+                    "k": k_e, "m": 1024, "n": 1 << 20,
+                    "store": store, "precision": ixe.precision,
+                    "ms": round(mse, 3),
+                    "timing": f"amplified x{iterse}",
+                    "topk16_eager_ms": round(tk_e, 3),
+                    "mxu_floor_ms": round(mxu_floor, 1),
+                    "errors": f"{errse}/{tote}",
+                    "gate": "on-device v2 differential over the stored "
+                            "points (2^16 chunks)",
+                    "note": "embedding-scale batch 1-NN through the "
+                            "prepared pipeline; topk16_eager_ms is "
+                            "steady-state NNIndex.query(neighbors=16) "
+                            "per call (host-synced); routing rationale "
+                            "in docs/SERVING.md",
+                })
+                if errse:
+                    print(f"CORRECTNESS FAILURE on embed k={k_e} "
+                          f"store={store}", file=sys.stderr)
+                    sys.exit(1)
+                print(f"# embed k={k_e} store={store}: 1-NN {mse:.3f} "
+                      f"ms (floor {mxu_floor:.1f}), top-16 {tk_e:.3f} "
+                      f"ms/call, errors {errse}/{tote}",
+                      file=sys.stderr, flush=True)
+                del ixe, rune, opse
+            del qe, re
 
     # Derived per-call floor (PERF_NOTES "Per-call prep transpose"):
     # prep relayout + prepared scan, for rows whose pipeline still preps

