@@ -1704,10 +1704,20 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # escalating compaction absorbs the spread. K > 16 keeps the
         # full pass: the cubic/single-band paths' capacity is already
         # near the 256-slot compactor ceiling.
+        # Fraction by K (measured census ladders, scripts/r23 +
+        # /tmp probes committed in PERF_NOTES "Round-5"): K <= 8 reads
+        # HALF (census mean ~18, max ~30 — fits the 4K+16 ladder with
+        # no overflow tax); K <= 16 reads 3/4 (half's census mean 34 /
+        # max 63 made a 3-qualifier CELL a ~30%-per-batch event, and
+        # one overflow cell costs every row the expanded rerank:
+        # +1.4 ms measured — 3/4's census mean 22.7 / max 37 showed
+        # ZERO overflow cells across 5x1024 rows while keeping ~2/3 of
+        # the half-prefix read saving). A quarter prefix blows even
+        # 8K+16 into the passes fallback (measured 52 ms).
         p1_limit = None
-        P1_FRAC = 2
         if kk <= 16 and n_ops >= (1 << 16):
-            part = (n_ops // P1_FRAC) // p1_tile_n * p1_tile_n
+            num, den = (1, 2) if kk <= 8 else (3, 4)
+            part = (n_ops * num // den) // p1_tile_n * p1_tile_n
             if part >= p1_tile_n and min(n, part) >= 1024:
                 p1_limit = part
         pass1 = _build_minima_candidates(m, n, k, p1_tile_m, p1_tile_n,
@@ -1734,7 +1744,7 @@ def _build_topk(m: int, n: int, k: int, kk: int, n_ops: int,
         # spikes past 48; only overflow PAST
         # cap_full routes to the fallback (the cap term of `certified`).
         cap_full = min(nc,
-                       (2 * P1_FRAC * kk + 16) if p1_limit
+                       ((4 if kk <= 8 else 3) * kk + 16) if p1_limit
                        else (2 * kk + 16), 256)
         # The butterfly compactor's cost is cap-independent (cap only
         # sets the kept-slot slice), so the K > 64 single band affords a
