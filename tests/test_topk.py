@@ -641,7 +641,11 @@ def test_moment_weights_exact_and_cell_policy():
     assert _extract_mode(8192, 8) == (256, _EXTRACT_FIELDS)
     assert _extract_mode(8192, 16) == (256, _EXTRACT_FIELDS)
     assert _extract_mode(8192, 32) == (256, _EXTRACT_FIELDS_CUBIC)
-    assert _extract_mode(128, 8) == (128, _EXTRACT_FIELDS)
+    # r5: narrow tiles (<= 2048 — the VMEM budget's embedding-scale-k
+    # signature) drop quad cells to 64 lanes: overflow 64x rarer and
+    # the overflow-cell expansion 4x narrower at wide k.
+    assert _extract_mode(2048, 16) == (64, _EXTRACT_FIELDS)
+    assert _extract_mode(128, 8) == (64, _EXTRACT_FIELDS)
     assert _extract_mode(128, 32) == (128, _EXTRACT_FIELDS_CUBIC)
 
 
